@@ -1,0 +1,84 @@
+"""Shared test fixtures.
+
+- Forces JAX onto a virtual 8-device CPU mesh so sharding/collective logic is
+  exercised without TPU hardware (SURVEY.md section 4: multi-node testing).
+- Builds the reference Archon binaries (a4/a6/a7) from /root/reference into a
+  temp dir as byte-exactness oracles.  Tests that need them skip gracefully
+  when the reference tree or a toolchain is unavailable.
+"""
+
+import os
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REFERENCE = Path(os.environ.get("ARCHON_REFERENCE", "/root/reference"))
+ORACLE_DIR = Path("/tmp/archon-oracles")
+
+
+def _build(name: str, sources: list[Path], cc: str) -> Path | None:
+    exe = ORACLE_DIR / name
+    if exe.exists():
+        return exe
+    ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+    cmd = [cc, "-O2", "-DNDEBUG", "-o", str(exe)] + [str(s) for s in sources]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        return None
+    return exe if exe.exists() else None
+
+
+@pytest.fixture(scope="session")
+def oracles():
+    """dict of reference binaries {'a4': path, 'a6': path, 'a7': path}."""
+    if not REFERENCE.is_dir() or not (shutil.which("gcc") and shutil.which("g++")):
+        pytest.skip("reference tree or toolchain unavailable")
+    out = {}
+    a4 = _build("archon4", sorted((REFERENCE / "bwt/a4/src").glob("*.c")), "gcc")
+    a6 = _build("archon6", sorted((REFERENCE / "bwt/a6/src").glob("*.c")), "gcc")
+    a7 = _build("archon7", sorted((REFERENCE / "bwt/a7/src").glob("*.cpp")), "g++")
+    if a4:
+        out["a4"] = a4
+    if a6:
+        out["a6"] = a6
+    if a7:
+        out["a7"] = a7
+    if not out:
+        pytest.skip("could not build any reference oracle")
+    return out
+
+
+def run_oracle(exe, mode: str, data: bytes, extra_args: list[str] = (), tmpdir=None) -> bytes:
+    """Run a reference binary on ``data``; returns the output file bytes."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(dir=tmpdir) as td:
+        src = Path(td) / "in.bin"
+        dst = Path(td) / "out.bin"
+        src.write_bytes(data)
+        cmd = [str(exe), mode, str(src), str(dst)] + list(extra_args)
+        proc = subprocess.run(cmd, capture_output=True, timeout=300)
+        if proc.returncode != 0:
+            # The reference a7 binary genuinely segfaults on several input
+            # classes (monotonically non-increasing strings; larger exactly
+            # periodic strings).  Byte-exactness is undefined there.
+            raise OracleCrash(
+                f"oracle {exe} rc={proc.returncode}: {proc.stdout[-200:]} {proc.stderr[-200:]}"
+            )
+        return dst.read_bytes()
+
+
+class OracleCrash(RuntimeError):
+    pass
