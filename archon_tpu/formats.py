@@ -1,0 +1,46 @@
+"""Archon file formats on the JAX core (host glue).
+
+Both the a4 and a7 formats are: N bytes of BWT payload followed by a u32-LE
+base index (a4/src/archon.c:227-234; a7/src/archon.cpp:887-900).  The payload
+is the BWT of the *reversed* input; a4 uses the terminator-smallest suffix
+order, a7 terminator-largest (see archon_tpu/golden/sa.py for the derivation
+and oracle validation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .core.bwt import bwt_forward, verify_sa
+from .core.unbwt import bwt_inverse
+from .core.doubling import SENT_LARGE, SENT_SMALL
+
+_CONVENTION = {"a4": SENT_SMALL, "a7": SENT_LARGE}
+
+
+def encode(data: bytes, generation: str = "a4", verify: bool = True) -> bytes:
+    """Transform ``data`` into an a4/a7-format blob, byte-exact with the
+    reference binaries (where those are themselves correct)."""
+    sentinel = _CONVENTION[generation]
+    arr = jnp.asarray(np.frombuffer(data[::-1], dtype=np.uint8))
+    if arr.shape[0] == 0:
+        return np.uint32(0).tobytes()
+    L, base, sa = bwt_forward(arr, sentinel)
+    if verify and not bool(verify_sa(arr, sa, sentinel)):
+        raise AssertionError("SA verification failed (internal error)")
+    return np.asarray(L).tobytes() + np.uint32(int(base)).tobytes()
+
+
+def decode(blob: bytes, generation: str = "a4") -> bytes:
+    """Invert an a4/a7-format blob back to the original bytes."""
+    sentinel = _CONVENTION[generation]
+    n = len(blob) - 4
+    if n < 0:
+        raise ValueError("blob too short")
+    if n == 0:
+        return b""
+    L = jnp.asarray(np.frombuffer(blob[:n], dtype=np.uint8))
+    base = int(np.frombuffer(blob[n:], dtype=np.uint32)[0])
+    out = bwt_inverse(L, jnp.int32(base), sentinel)
+    return np.asarray(out).tobytes()

@@ -9,13 +9,15 @@
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force an 8-device CPU mesh for the test suite.  Note: this container's
+# sitecustomize force-registers the 'axon' TPU platform and overrides
+# JAX_PLATFORMS, so env vars alone are not enough — the config updates below
+# (issued before any backend initialization) are authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import shutil
 import subprocess
