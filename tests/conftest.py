@@ -42,6 +42,29 @@ def _build(name: str, sources: list[Path], cc: str) -> Path | None:
     return exe if exe.exists() else None
 
 
+def _patched_a6_sources() -> list[Path]:
+    """a6 was written for 32-bit targets: its ``typedef unsigned long dword``
+    (common.h) becomes 8 bytes on LP64, making every key read garbage (it
+    segfaults on any input).  The faithful oracle is the 32-bit-semantics
+    build: patch dword to unsigned int (and the IT-1 ``long diff`` wraparound
+    test, bwt.c:394, back to 32-bit signed)."""
+    dst = ORACLE_DIR / "a6src"
+    ORACLE_DIR.mkdir(parents=True, exist_ok=True)
+    if not dst.is_dir():
+        import shutil as _sh
+
+        _sh.copytree(REFERENCE / "bwt/a6/src", dst)
+        common = dst / "common.h"
+        common.write_text(
+            common.read_text().replace(
+                "typedef unsigned long dword;", "typedef unsigned int dword;"
+            )
+        )
+        bwt = dst / "bwt.c"
+        bwt.write_text(bwt.read_text().replace("long diff = ", "int diff = "))
+    return sorted(dst.glob("*.c"))
+
+
 @pytest.fixture(scope="session")
 def oracles():
     """dict of reference binaries {'a4': path, 'a6': path, 'a7': path}."""
@@ -49,7 +72,7 @@ def oracles():
         pytest.skip("reference tree or toolchain unavailable")
     out = {}
     a4 = _build("archon4", sorted((REFERENCE / "bwt/a4/src").glob("*.c")), "gcc")
-    a6 = _build("archon6", sorted((REFERENCE / "bwt/a6/src").glob("*.c")), "gcc")
+    a6 = _build("archon6", _patched_a6_sources(), "gcc")
     a7 = _build("archon7", sorted((REFERENCE / "bwt/a7/src").glob("*.cpp")), "g++")
     if a4:
         out["a4"] = a4
