@@ -1,0 +1,90 @@
+"""Command-line interface.
+
+Mirrors each reference generation's own CLI so a reference user can switch
+without relearning flags, and adds the native blocked container:
+
+  archon a4 e|d <in> <out>              # a4-compatible (a4/src/main.c:27)
+  archon a7 e|d <in> <out>              # a7-compatible (a7/src/main.cpp:7)
+  archon a6 <in> <out> [-c byte|fix|var] [-r N] [-o ORDER] [-u]
+                                        # a6-compatible (a6/src/main.c:117-123)
+  archon e|d <in> <out> [-g a4|a7] [-b BLOCK]
+                                        # native block-streamed container
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _rw(args, fn):
+    with open(args.infile, "rb") as f:
+        data = f.read()
+    t0 = time.perf_counter()
+    out = fn(data)
+    dt = time.perf_counter() - t0
+    with open(args.outfile, "wb") as f:
+        f.write(out)
+    print(
+        f"{len(data)} -> {len(out)} bytes in {dt:.3f}s "
+        f"({len(data) / 1e6 / max(dt, 1e-9):.1f} MB/s)"
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="archon", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for gen in ("a4", "a7"):
+        g = sub.add_parser(gen, help=f"{gen}-compatible single-block format")
+        g.add_argument("mode", choices=["e", "d"])
+        g.add_argument("infile")
+        g.add_argument("outfile")
+
+    g6 = sub.add_parser("a6", help="a6-compatible format")
+    g6.add_argument("infile")
+    g6.add_argument("outfile")
+    g6.add_argument("-c", "--coder", default="byte", choices=["byte", "fix", "var"])
+    g6.add_argument("-r", "--radix", type=int, default=16,
+                    help="accepted for reference compatibility; output is radix-independent")
+    g6.add_argument("-o", "--order", default="none",
+                    help="alphabet reorder (reference parses but never applies it; ditto here)")
+    g6.add_argument("-u", "--unpack", action="store_true")
+
+    for mode in ("e", "d"):
+        gb = sub.add_parser(mode, help="native block-streamed container")
+        gb.add_argument("infile")
+        gb.add_argument("outfile")
+        gb.add_argument("-g", "--generation", default="a4", choices=["a4", "a7"])
+        gb.add_argument("-b", "--block-size", type=lambda s: int(s, 0), default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd in ("a4", "a7"):
+        from . import formats
+
+        if args.mode == "e":
+            _rw(args, lambda d: formats.encode(d, args.cmd))
+        else:
+            _rw(args, lambda d: formats.decode(d, args.cmd))
+    elif args.cmd == "a6":
+        from .core import a6 as core_a6
+
+        if args.unpack:
+            _rw(args, lambda d: core_a6.a6_decode(d, args.coder))
+        else:
+            _rw(args, lambda d: core_a6.a6_encode(d, args.coder))
+    else:
+        from .io import blocks
+
+        if args.cmd == "e":
+            bs = args.block_size or blocks.DEFAULT_BLOCK
+            _rw(args, lambda d: blocks.encode_file(d, args.generation, bs))
+        else:
+            _rw(args, blocks.decode_file)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Block-streaming container format — the production path.
+
+The reference streams fixed blocks with per-block self-contained framing
+(final/x1/ArchonX1.c:53-60: [n][payload][baza] per 4 MB block;
+final/x2/ArchonX2.c:50-53,87-99 adds a {sig, block_size} file header and a
+``-b`` option).  That per-block framing is the scaling and recovery unit
+(SURVEY.md section 5: checkpoint/resume): each block transforms and inverts
+independently, so blocks shard trivially across chips/hosts (parallel/blocks)
+and a failed block re-dispatches without touching the rest.
+
+Our container keeps the same shape with an explicit version + convention:
+
+    header: magic b'ATA1' | u8 generation (0=a4-small, 1=a7-large)
+            | u8 flags | u16 reserved | u32 block_size
+    block : u32 n | n payload bytes | u32 base
+
+The per-block payload/base are byte-identical with the corresponding
+single-block reference format (a4/a7), so any block can be extracted and fed
+to the reference decoder.  The x1/x2/x3 *sort semantics* are intentionally
+not reproduced: their anchor/LSC defenses are subsumed by the doubling core
+(SURVEY.md "what NOT to port"), and x1 cannot even decode its own output
+(it ships no decoder).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"ATA1"
+GENERATIONS = {"a4": 0, "a7": 1}
+GEN_NAMES = {v: k for k, v in GENERATIONS.items()}
+DEFAULT_BLOCK = 1 << 22  # 4 MiB, the x1 historical default (ArchonX1.c:19)
+
+
+def _batched_forward(blocks: list[bytes], generation: str):
+    """Transform blocks, batching equal-length runs through the dp pipeline."""
+    from ..core.doubling import SENT_SMALL, SENT_LARGE
+    from ..parallel.blocks import bwt_blocks
+    import jax.numpy as jnp
+
+    sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
+    out = []
+    i = 0
+    while i < len(blocks):
+        if len(blocks[i]) == 0:
+            out.append((np.zeros(0, np.uint8), 0))
+            i += 1
+            continue
+        j = i
+        while j < len(blocks) and len(blocks[j]) == len(blocks[i]):
+            j += 1
+        batch = np.stack(
+            [np.frombuffer(b[::-1], np.uint8) for b in blocks[i:j]]
+        )
+        L, base = bwt_blocks(jnp.asarray(batch), sentinel)
+        L = np.asarray(L)
+        base = np.asarray(base)
+        for t in range(j - i):
+            out.append((L[t], int(base[t])))
+        i = j
+    return out
+
+
+def encode_file(data: bytes, generation: str = "a4", block_size: int = DEFAULT_BLOCK) -> bytes:
+    if generation not in GENERATIONS:
+        raise ValueError(f"unknown generation {generation!r}")
+    header = MAGIC + struct.pack(
+        "<BBHI", GENERATIONS[generation], 0, 0, block_size
+    )
+    blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
+    chunks = [header]
+    for (L, base), blk in zip(_batched_forward(blocks, generation), blocks):
+        chunks.append(struct.pack("<I", len(blk)))
+        chunks.append(L.tobytes())
+        chunks.append(struct.pack("<I", base))
+    return b"".join(chunks)
+
+
+def decode_file(blob: bytes) -> bytes:
+    from ..core.doubling import SENT_SMALL, SENT_LARGE
+    from ..core.unbwt import bwt_inverse
+    import jax.numpy as jnp
+
+    if blob[:4] != MAGIC:
+        raise ValueError("bad magic")
+    gen_id, _flags, _rsvd, block_size = struct.unpack("<BBHI", blob[4:12])
+    sentinel = SENT_SMALL if gen_id == 0 else SENT_LARGE
+    pos = 12
+    out = []
+    while pos < len(blob):
+        (n,) = struct.unpack("<I", blob[pos : pos + 4])
+        pos += 4
+        L = np.frombuffer(blob[pos : pos + n], np.uint8)
+        pos += n
+        (base,) = struct.unpack("<I", blob[pos : pos + 4])
+        pos += 4
+        if n:
+            rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
+            out.append(np.asarray(rt).tobytes())
+    return b"".join(out)
+
+
+def extract_block(blob: bytes, index: int) -> bytes:
+    """Extract block #index as a standalone reference-format blob
+    (payload + trailing u32 base — decodable by the reference binary)."""
+    if blob[:4] != MAGIC:
+        raise ValueError("bad magic")
+    pos = 12
+    i = 0
+    while pos < len(blob):
+        (n,) = struct.unpack("<I", blob[pos : pos + 4])
+        payload = blob[pos + 4 : pos + 4 + n + 4]
+        if i == index:
+            return payload
+        pos += 8 + n
+        i += 1
+    raise IndexError(index)

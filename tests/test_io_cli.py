@@ -1,0 +1,73 @@
+"""Block container + CLI surface tests."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from archon_tpu.io import blocks
+from archon_tpu.utils.corpus import text_like
+
+
+def test_block_container_roundtrip():
+    data = text_like(5000)
+    for gen in ("a4", "a7"):
+        blob = blocks.encode_file(data, gen, block_size=1024)
+        assert blocks.decode_file(blob) == data
+    # empty file
+    assert blocks.decode_file(blocks.encode_file(b"", "a4")) == b""
+
+
+def test_block_extract_reference_compatible(oracles):
+    from conftest import run_oracle
+
+    data = text_like(3000)
+    blob = blocks.encode_file(data, "a4", block_size=1024)
+    if "a4" in oracles:
+        block0 = blocks.extract_block(blob, 0)
+        assert run_oracle(oracles["a4"], "d", block0) == data[:1024]
+
+
+def test_cli_roundtrip(tmp_path):
+    data = text_like(2000)
+    src = tmp_path / "in.bin"
+    enc = tmp_path / "out.at"
+    dec = tmp_path / "rt.bin"
+    src.write_bytes(data)
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(Path(__file__).parent.parent)}
+    import os
+
+    env = {**os.environ, **env}
+    for cmd in (
+        ["e", str(src), str(enc), "-b", "512"],
+        ["d", str(enc), str(dec)],
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "archon_tpu"] + cmd,
+            capture_output=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+    assert dec.read_bytes() == data
+
+
+def test_cli_a6_roundtrip(tmp_path):
+    import os
+
+    data = b"yabba dabba doo " * 40 + b"end"
+    src = tmp_path / "in.bin"
+    enc = tmp_path / "out.a6"
+    dec = tmp_path / "rt.bin"
+    src.write_bytes(data)
+    env = {**os.environ, "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(Path(__file__).parent.parent)}
+    for cmd in (
+        ["a6", str(src), str(enc), "-c", "var"],
+        ["a6", str(enc), str(dec), "-c", "var", "-u"],
+    ):
+        r = subprocess.run(
+            [sys.executable, "-m", "archon_tpu"] + cmd,
+            capture_output=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+    assert dec.read_bytes() == data
