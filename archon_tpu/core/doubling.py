@@ -35,10 +35,17 @@ _EXT_BITS = 9
 _EXT_BASE = 1 << _EXT_BITS  # 512
 
 
+def _invert_permutation(perm: jnp.ndarray, values: jnp.ndarray):
+    """values scattered to positions perm — via a sort, which on TPU is ~1.5x
+    cheaper than a random scatter (181 vs 271 ms at 2^25, see commit log)."""
+    _, out = lax.sort((perm, values), num_keys=1)
+    return out
+
+
 def _dense_rank(keys: jnp.ndarray, idx_dtype=jnp.int32):
     """Rank every element by value (dense, ties share a rank).
 
-    Returns (rank, num_unique). One sort + head-flag cumsum + scatter."""
+    Returns (rank, num_unique). One sort + head-flag cumsum + inverse-sort."""
     n = keys.shape[0]
     iota = lax.iota(idx_dtype, n)
     sorted_keys, sorted_idx = lax.sort((keys, iota), num_keys=1)
@@ -46,7 +53,7 @@ def _dense_rank(keys: jnp.ndarray, idx_dtype=jnp.int32):
         [jnp.ones((1,), idx_dtype), (sorted_keys[1:] != sorted_keys[:-1]).astype(idx_dtype)]
     )
     ranks_sorted = jnp.cumsum(head) - 1
-    rank = jnp.zeros((n,), idx_dtype).at[sorted_idx].set(ranks_sorted)
+    rank = _invert_permutation(sorted_idx, ranks_sorted)
     return rank, ranks_sorted[-1] + 1
 
 
@@ -65,12 +72,22 @@ def _initial_rank(data: jnp.ndarray, sentinel: str):
     return _dense_rank(packed)
 
 
+def _shifted_rank(padded: jnp.ndarray, iota: jnp.ndarray, n: int, k, off_end):
+    """rank[i+k] with off-end sentinel, as a dynamic slice of the padded
+    rank array (contiguous access — a general gather here costs ~3x more)."""
+    sl = lax.dynamic_slice(padded, (jnp.minimum(k, n),), (n,))
+    return jnp.where(iota + k < n, sl, off_end)
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel", "sort_fn"))
 def suffix_array(data: jnp.ndarray, sentinel: str = SENT_SMALL, sort_fn=None) -> jnp.ndarray:
     """Suffix array of a uint8 array under the given sentinel convention.
 
     Matches archon_tpu.golden.sa.suffix_array exactly (tested); runs fully
-    on-device under jit with a while_loop over doubling rounds.
+    on-device under jit with a while_loop over *quadrupling* rounds: each
+    round sorts (rank, rank@k, rank@2k, rank@3k) so the context length
+    multiplies by 4 per sort, halving the round count vs classic doubling
+    at ~20% extra per-sort cost.
     """
     n = data.shape[0]
     if n == 0:
@@ -78,16 +95,11 @@ def suffix_array(data: jnp.ndarray, sentinel: str = SENT_SMALL, sort_fn=None) ->
     if n == 1:
         return jnp.zeros((1,), jnp.int32)
 
-    # off-end rank sentinel for doubling rounds
+    # off-end rank sentinel for refinement rounds
     off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
 
     rank0, nuniq0 = _initial_rank(data, sentinel)
     iota = lax.iota(jnp.int32, n)
-
-    if sort_fn is None:
-        def sort_fn(r, r2, idx):
-            _, _, sorted_idx = lax.sort((r, r2, idx), num_keys=2)
-            return sorted_idx
 
     def cond(state):
         k, rank, nuniq = state
@@ -95,24 +107,34 @@ def suffix_array(data: jnp.ndarray, sentinel: str = SENT_SMALL, sort_fn=None) ->
 
     def body(state):
         k, rank, nuniq = state
-        shifted = iota + k
-        rank2 = jnp.where(shifted < n, rank[jnp.minimum(shifted, n - 1)], off_end)
-        sorted_idx = sort_fn(rank, rank2, iota)
-        r_s = rank[sorted_idx]
-        r2_s = rank2[sorted_idx]
+        padded = jnp.concatenate([rank, jnp.full((n,), off_end, jnp.int32)])
+        r1 = _shifted_rank(padded, iota, n, k, off_end)
+        r2 = _shifted_rank(padded, iota, n, 2 * k, off_end)
+        r3 = _shifted_rank(padded, iota, n, 3 * k, off_end)
+        if sort_fn is None:
+            r0_s, r1_s, r2_s, r3_s, sorted_idx = lax.sort(
+                (rank, r1, r2, r3, iota), num_keys=4
+            )
+        else:
+            r0_s, r1_s, r2_s, r3_s, sorted_idx = sort_fn(rank, r1, r2, r3, iota)
         head = jnp.concatenate(
             [
                 jnp.ones((1,), jnp.int32),
-                ((r_s[1:] != r_s[:-1]) | (r2_s[1:] != r2_s[:-1])).astype(jnp.int32),
+                (
+                    (r0_s[1:] != r0_s[:-1])
+                    | (r1_s[1:] != r1_s[:-1])
+                    | (r2_s[1:] != r2_s[:-1])
+                    | (r3_s[1:] != r3_s[:-1])
+                ).astype(jnp.int32),
             ]
         )
         ranks_sorted = jnp.cumsum(head) - 1
-        new_rank = jnp.zeros((n,), jnp.int32).at[sorted_idx].set(ranks_sorted)
-        return k * 2, new_rank, ranks_sorted[-1] + 1
+        new_rank = _invert_permutation(sorted_idx, ranks_sorted)
+        return k * 4, new_rank, ranks_sorted[-1] + 1
 
     _, rank, _ = lax.while_loop(cond, body, (jnp.int32(3), rank0, nuniq0))
     # rank is now a permutation: invert it to get the suffix array
-    sa = jnp.zeros((n,), jnp.int32).at[rank].set(iota)
+    sa = _invert_permutation(rank, iota)
     return sa
 
 
