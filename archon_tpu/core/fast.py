@@ -1,0 +1,208 @@
+"""Host-orchestrated suffix array with active-set narrowing.
+
+Real corpora contain long repeats (quotes, boilerplate, the Gauntlet
+pathological family), which force the doubling loop to large k even though
+only a shrinking fraction of suffixes is still tied.  The all-device
+``core.doubling.suffix_array`` pays full-array cost every round; this module
+narrows each refinement round to the *active* suffixes (members of
+non-singleton rank groups), the TPU analog of Larsson-Sadakane group
+refinement — and the structural answer to the reference's anchor/LSC
+"defense" machinery (a4/src/direct.c:82-161): pathological repetitions cost
+O(active · log) here instead of blowing up a comparison sort.
+
+Key invariant: ranks are *positional* — rank[p] = sorted position of p's
+group head — so refining a subset assigns globally consistent new ranks
+(group head position + subgroup offset) without renumbering anything else.
+
+The host drives jitted stage functions and reads back one scalar (the
+active count) per round; capacities come from a fixed bucket ladder so each
+shape compiles once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .doubling import SENT_LARGE, SENT_SMALL, _initial_rank, _invert_permutation, _shifted_rank
+
+
+def _positional_ranks(head: jnp.ndarray, iota: jnp.ndarray):
+    """rank-by-sorted-slot = position of the group head (cummax of head slots)."""
+    return lax.cummax(jnp.where(head.astype(bool), iota, 0))
+
+
+def _actives_from_heads(head: jnp.ndarray):
+    """active[t] = sorted slot t belongs to a group of size > 1."""
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), head.dtype)])
+    return jnp.logical_not(head.astype(bool) & nxt.astype(bool))
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _init(data: jnp.ndarray, sentinel: str):
+    n = data.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    ext = data.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else 511)
+    extp = jnp.concatenate([ext, jnp.full((2,), pad_val, jnp.int32)])
+    packed = extp[:n] * (512 * 512) + extp[1 : n + 1] * 512 + extp[2 : n + 2]
+    sorted_keys, sorted_idx = lax.sort((packed, iota), num_keys=1)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (sorted_keys[1:] != sorted_keys[:-1]).astype(jnp.int32)]
+    )
+    ranks_sorted = _positional_ranks(head, iota)
+    rank = _invert_permutation(sorted_idx, ranks_sorted)
+    active = _actives_from_heads(head)
+    return rank, jnp.sum(active.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _round_full(rank: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+    n = rank.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    padded = jnp.concatenate([rank, jnp.full((n,), off_end, jnp.int32)])
+    r1 = _shifted_rank(padded, iota, n, k, off_end)
+    r2 = _shifted_rank(padded, iota, n, 2 * k, off_end)
+    r3 = _shifted_rank(padded, iota, n, 3 * k, off_end)
+    r0_s, r1_s, r2_s, r3_s, sorted_idx = lax.sort((rank, r1, r2, r3, iota), num_keys=4)
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.int32),
+            (
+                (r0_s[1:] != r0_s[:-1])
+                | (r1_s[1:] != r1_s[:-1])
+                | (r2_s[1:] != r2_s[:-1])
+                | (r3_s[1:] != r3_s[:-1])
+            ).astype(jnp.int32),
+        ]
+    )
+    ranks_sorted = _positional_ranks(head, iota)
+    new_rank = _invert_permutation(sorted_idx, ranks_sorted)
+    active = _actives_from_heads(head)
+    return new_rank, jnp.sum(active.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact(rank: jnp.ndarray, cap: int):
+    """Positions belonging to non-singleton groups, padded to cap with -1."""
+    n = rank.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    r_s, idx_s = lax.sort((rank, iota), num_keys=1)
+    head = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (r_s[1:] != r_s[:-1]).astype(jnp.int32)]
+    )
+    active = _actives_from_heads(head)
+    # sort actives to the front (stable -> keeps rank order, irrelevant here)
+    key = jnp.where(active, jnp.int32(0), jnp.int32(1))
+    _, pos = lax.sort((key, idx_s), num_keys=1)
+    out = jnp.where(lax.iota(jnp.int32, cap) < jnp.sum(active.astype(jnp.int32)),
+                    pos[:cap], jnp.int32(-1))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _round_active(rank: jnp.ndarray, apos: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+    """Refine only the active positions (capacity C = apos.shape[0])."""
+    n = rank.shape[0]
+    C = apos.shape[0]
+    iota_c = lax.iota(jnp.int32, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    valid = apos >= 0
+    safe = jnp.where(valid, apos, 0)
+    BIG = jnp.int32(0x7FFFFFFF)
+
+    r0 = jnp.where(valid, rank[safe], BIG)
+
+    def shifted(j):
+        p = safe + j * k
+        ok = valid & (p < n)
+        return jnp.where(ok, rank[jnp.minimum(p, n - 1)], off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    r0_s, r1_s, r2_s, r3_s, pos_s = lax.sort((r0, r1, r2, r3, safe_where(valid, apos)), num_keys=4)
+
+    h0 = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), r0_s[1:] != r0_s[:-1]]
+    )
+    h4 = h0 | jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (r1_s[1:] != r1_s[:-1]) | (r2_s[1:] != r2_s[:-1]) | (r3_s[1:] != r3_s[:-1]),
+        ]
+    )
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0))  # slot of r0-group head
+    t4 = lax.cummax(jnp.where(h4, iota_c, 0))  # slot of subgroup head
+    new_rank_s = r0_s + (t4 - t0)
+
+    pad = pos_s < 0
+    # still-active: subgroup of size > 1
+    nxt_h4 = jnp.concatenate([h4[1:], jnp.ones((1,), jnp.bool_)])
+    still = jnp.logical_not(h4 & nxt_h4) & jnp.logical_not(pad)
+
+    new_rank_s = jnp.where(pad, jnp.int32(0), new_rank_s)
+    upd_pos = jnp.where(pad, jnp.int32(n), pos_s)  # drop pads
+    rank = rank.at[upd_pos].set(new_rank_s, mode="drop")
+
+    # compact the still-active positions to the front
+    key = jnp.where(still, jnp.int32(0), jnp.int32(1))
+    _, new_apos = lax.sort((key, jnp.where(still, pos_s, jnp.int32(-1))), num_keys=1)
+    nactive = jnp.sum(still.astype(jnp.int32))
+    new_apos = jnp.where(iota_c < nactive, new_apos, jnp.int32(-1))
+    return rank, new_apos, nactive
+
+
+def safe_where(valid, apos):
+    # pads carry -1 so they sort deterministically and are dropped later
+    return jnp.where(valid, apos, jnp.int32(-1))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _finish(rank: jnp.ndarray):
+    n = rank.shape[0]
+    return _invert_permutation(rank, lax.iota(jnp.int32, n))
+
+
+def _cap_ladder(n: int):
+    caps = []
+    c = max(n // 4, 1)
+    while c >= 4096 and c >= 64:
+        caps.append(c)
+        c //= 8
+    caps.append(max(min(n, 4096), 1))
+    return caps
+
+
+def suffix_array_fast(data, sentinel: str = SENT_SMALL) -> np.ndarray:
+    """Suffix array with active-set narrowing; host-driven round loop.
+
+    Semantically identical to core.doubling.suffix_array (tested against the
+    golden model); much faster on inputs whose ties persist to large k.
+    """
+    arr = jnp.asarray(data, dtype=jnp.uint8) if not isinstance(data, jnp.ndarray) else data
+    n = arr.shape[0]
+    if n <= 1:
+        return np.zeros(n, np.int32)
+    rank, nactive = _init(arr, sentinel)
+    nactive = int(nactive)
+    k = 3
+    caps = _cap_ladder(n)
+    apos = None
+    cap = None
+    while nactive > 0 and k < n:
+        if apos is None and nactive * 4 > n:
+            rank, nactive = _round_full(rank, jnp.int32(k), sentinel)
+            nactive = int(nactive)
+        else:
+            want = next((c for c in caps if c >= nactive), caps[0])
+            if apos is None or want < cap:
+                cap = want
+                apos = _compact(rank, cap)
+            rank, apos, nactive = _round_active(rank, apos, jnp.int32(k), sentinel)
+            nactive = int(nactive)
+        k *= 4
+    return np.asarray(_finish(rank))
