@@ -54,30 +54,31 @@ def bits_of_stream(stream: np.ndarray, total_bits: int) -> np.ndarray:
 
 
 def decode_stream(stream: np.ndarray, total_bits: int, codes: list[SymbolCode], n: int) -> np.ndarray:
-    """Decode n symbols from the bit stream (test/CLI path, not perf)."""
+    """Decode n symbols from the bit stream (test/CLI path, not perf).
+
+    The stream is *backward* decodable: each codeword's MSB sits at its end
+    offset minus one, and greedy MSB-first matching from the end is unique by
+    prefix-freeness (forward LSB-aligned matching would be ambiguous) — the
+    same orientation the reference's suffix sort consumes (bwt.c:112-144)."""
     bits = bits_of_stream(stream, total_bits)
-    # build (code, length) -> symbol map; codes are prefix-free MSB-first
     table = {}
     for sym in range(256):
         sc = codes[sym]
         if sc.length:
             table[(sc.length, sc.code)] = sym
     out = np.zeros(n, np.uint8)
-    pos = 0
-    for j in range(n):
-        # the code occupies bits pos..pos+l-1 LSB-first, i.e. reading bit
-        # pos+l-1 down to pos gives it MSB..LSB
+    pos = total_bits
+    for j in range(n - 1, -1, -1):
+        acc = 0
         l = 0
         while True:
             l += 1
-            code = 0
-            for t in range(l):
-                code = (code << 1) | int(bits[pos + l - 1 - t])
-            sym = table.get((l, code))
+            if l > 32 or l > pos:
+                raise ValueError("undecodable stream")
+            acc = (acc << 1) | int(bits[pos - l])
+            sym = table.get((l, acc))
             if sym is not None:
                 out[j] = sym
-                pos += l
+                pos -= l
                 break
-            if l > 32:
-                raise ValueError("undecodable stream")
     return out

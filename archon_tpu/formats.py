@@ -32,15 +32,25 @@ def encode(data: bytes, generation: str = "a4", verify: bool = True) -> bytes:
     return np.asarray(L).tobytes() + np.uint32(int(base)).tobytes()
 
 
-def decode(blob: bytes, generation: str = "a4") -> bytes:
-    """Invert an a4/a7-format blob back to the original bytes."""
+def decode(blob: bytes, generation: str = "a4", device: bool = False) -> bytes:
+    """Invert an a4/a7-format blob back to the original bytes.
+
+    Host path (default): the native C++ LF chain walk — for a serial decode
+    the cache-bound walk beats the device's n-log-n pointer-doubling gathers.
+    ``device=True`` forces the JAX path (used when the payload already lives
+    on device inside a pipeline)."""
     sentinel = _CONVENTION[generation]
     n = len(blob) - 4
     if n < 0:
         raise ValueError("blob too short")
     if n == 0:
         return b""
-    L = jnp.asarray(np.frombuffer(blob[:n], dtype=np.uint8))
+    Lh = np.frombuffer(blob[:n], dtype=np.uint8)
     base = int(np.frombuffer(blob[n:], dtype=np.uint32)[0])
-    out = bwt_inverse(L, jnp.int32(base), sentinel)
+    if not device:
+        from . import native
+
+        if native.available():
+            return native.unbwt(Lh, base, sentinel == SENT_LARGE).tobytes()
+    out = bwt_inverse(jnp.asarray(Lh), jnp.int32(base), sentinel)
     return np.asarray(out).tobytes()

@@ -87,6 +87,9 @@ def decode_file(blob: bytes) -> bytes:
         raise ValueError("bad magic")
     gen_id, _flags, _rsvd, block_size = struct.unpack("<BBHI", blob[4:12])
     sentinel = SENT_SMALL if gen_id == 0 else SENT_LARGE
+    from .. import native
+
+    use_native = native.available()
     pos = 12
     out = []
     while pos < len(blob):
@@ -97,8 +100,11 @@ def decode_file(blob: bytes) -> bytes:
         (base,) = struct.unpack("<I", blob[pos : pos + 4])
         pos += 4
         if n:
-            rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
-            out.append(np.asarray(rt).tobytes())
+            if use_native:
+                out.append(native.unbwt(L, base, sentinel == SENT_LARGE).tobytes())
+            else:
+                rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
+                out.append(np.asarray(rt).tobytes())
     return b"".join(out)
 
 
