@@ -177,11 +177,13 @@ def _cap_ladder(n: int):
     return caps
 
 
-def suffix_array_fast(data, sentinel: str = SENT_SMALL) -> np.ndarray:
+def suffix_array_fast(data, sentinel: str = SENT_SMALL, return_device: bool = False):
     """Suffix array with active-set narrowing; host-driven round loop.
 
     Semantically identical to core.doubling.suffix_array (tested against the
     golden model); much faster on inputs whose ties persist to large k.
+    ``return_device=True`` keeps the result on device (device->host transfer
+    of the SA costs more than the whole computation through the axon relay).
     """
     arr = jnp.asarray(data, dtype=jnp.uint8) if not isinstance(data, jnp.ndarray) else data
     n = arr.shape[0]
@@ -205,4 +207,5 @@ def suffix_array_fast(data, sentinel: str = SENT_SMALL) -> np.ndarray:
             rank, apos, nactive = _round_active(rank, apos, jnp.int32(k), sentinel)
             nactive = int(nactive)
         k *= 4
-    return np.asarray(_finish(rank))
+    sa = _finish(rank)
+    return sa if return_device else np.asarray(sa)

@@ -1,0 +1,105 @@
+"""Offline research instruments (ports of the reference's tool/ tree).
+
+These fed design constants back into the reference's core (SURVEY.md
+section 2.2); the ports keep that feedback loop available:
+
+- ``estimate_it_groups``   <- a5/tool/estimate/estimate.c:11-83
+- ``huffman_bits_per_sym`` <- a6/tool/compress/compress.c:59-99
+- ``reorder_direct_volume``<- a6/tool/reorder/reorder.c:346-359 (the IT
+  variant estimators: what fraction each split strategy sorts directly)
+- ``radix_direction_bench``<- tool/radix_dir/radix.c:38-87 (scan-direction
+  microbenchmark; on TPU the analog is lane-vs-sublane layout choice, so
+  this reports the host-side numbers for the record)
+- ``route_search``         <- a5/tool/route/route.cpp (derivation-plan
+  search over IT-N group dependencies, simplified exhaustive form)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..entropy.huffman import build_encoder_var
+from ..ops.itn import it_masks, it2_lucky
+
+
+def estimate_it_groups(data: np.ndarray, order: int = 3) -> dict[int, float]:
+    """Frequency of each IT descent-mask group (a5/tool/estimate)."""
+    mask = it_masks(np.asarray(data, np.uint8), order)
+    counts = np.bincount(mask, minlength=1 << order)
+    return {g: float(c) / max(len(data), 1) for g, c in enumerate(counts)}
+
+
+def huffman_bits_per_sym(data: np.ndarray) -> float:
+    """Exact-Huffman compression estimate (a6/tool/compress)."""
+    data = np.asarray(data, np.uint8)
+    freq = np.bincount(data, minlength=256)
+    codes = build_encoder_var(freq)
+    total = sum(int(freq[i]) * codes[i].length for i in range(256))
+    return total / max(len(data), 1)
+
+
+def reorder_direct_volume(data: np.ndarray) -> dict[str, float]:
+    """Direct-sort volume of IT split variants (a6/tool/reorder): fraction
+    of suffixes each strategy must comparison-sort."""
+    data = np.asarray(data, np.uint8)
+    n = max(len(data), 1)
+    d = data.astype(np.int16)
+    nxt = np.concatenate([d[1:], [-1]])
+    prev = np.concatenate([[-1], d[:-1]])
+    out = {
+        # IT-1: strict descents sorted directly
+        "it1": float(np.sum(d > nxt)) / n,
+        # IT-2 (a4's predicate): local maxima
+        "it2": float(np.sum((d > nxt) & (d >= prev))) / n,
+        # IT-1s: runs collapsed (a6/tool/reorder fit1s idea): strict
+        # descents not preceded by an equal symbol
+        "it1s": float(np.sum((d > nxt) & (d != prev))) / n,
+    }
+    return out
+
+
+def radix_direction_bench(size: int = 1 << 15, iters: int = 512) -> dict[str, float]:
+    """Counting-sort scan-direction microbenchmark (tool/radix_dir):
+    ascending vs descending accumulation over a byte histogram."""
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size, dtype=np.uint8)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = np.bincount(data, minlength=256)
+        np.cumsum(c)
+    asc = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = np.bincount(data, minlength=256)
+        np.cumsum(c[::-1])
+    desc = time.perf_counter() - t0
+    return {"ascending_s": asc, "descending_s": desc}
+
+
+def route_search(order: int = 3) -> list[int]:
+    """Simplified derivation-plan search (a5/tool/route): order IT groups so
+    that groups derivable from already-ordered ones come later; returns a
+    feasible derivation order of mask groups (suffix-dependency: group g is
+    derivable from the groups of its one-step extensions, i.e. mask >> 1)."""
+    ngroups = 1 << order
+    placed: list[int] = []
+    remaining = set(range(ngroups))
+    # strict-descent groups (lsb set) are sorted directly first
+    direct = sorted(g for g in remaining if g & 1)
+    placed += direct
+    remaining -= set(direct)
+    while remaining:
+        progress = False
+        for g in sorted(remaining):
+            if (g >> 1) in placed or (g >> 1) in direct:
+                placed.append(g)
+                remaining.discard(g)
+                progress = True
+                break
+        if not progress:  # fall back: place smallest (cycle through runs)
+            g = min(remaining)
+            placed.append(g)
+            remaining.discard(g)
+    return placed
