@@ -141,7 +141,27 @@ def a6_decode(blob: bytes, config: str = "byte") -> bytes:
     if config in ("byte", "fix"):
         out = bwt_inverse(jnp.asarray(L), jnp.int32(base), SENT_LARGE)
         return np.asarray(out).tobytes()
-    # var: fall back to the golden host implementation for now
-    from ..golden.a6 import a6_decode as golden_decode
+    # var: rebuild the Huffman table from the payload histogram (the BWT is
+    # a permutation, so frequencies match the original) and walk with
+    # code-ordered bucket starts — the correct inverse the reference lacks
+    # (its -u uses byte-ordered buckets; see golden/a6.py)
+    from ..core.unbwt import bwt_inverse_with_starts
 
-    return golden_decode(blob, "var")
+    codes = build_encoder_var(np.bincount(L, minlength=256))
+    keys = np.array(
+        [
+            (codes[c].code << (32 - codes[c].length)) if codes[c].length else -1
+            for c in range(256)
+        ],
+        np.int64,
+    )
+    counts = np.bincount(L, minlength=256)
+    starts = np.zeros(256, np.int32)
+    acc = 0
+    for c in np.argsort(keys, kind="stable"):
+        starts[c] = acc
+        acc += int(counts[c])
+    out = bwt_inverse_with_starts(
+        jnp.asarray(L), jnp.int32(base), jnp.asarray(starts)
+    )
+    return np.asarray(out).tobytes()

@@ -24,19 +24,27 @@ from jax import lax
 from .doubling import SENT_LARGE, SENT_SMALL
 
 
-def lf_successor(L: jnp.ndarray, base: jnp.ndarray, sentinel: str) -> jnp.ndarray:
+def lf_successor(
+    L: jnp.ndarray, base: jnp.ndarray, sentinel: str, starts: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Successor table P: P[i] = bucket_start[L[i]] + occ(i) with the base
     twist.  occ is computed with one stable sort instead of a serial counter
-    roll."""
+    roll.  ``starts`` overrides the bucket bases (the a6 'var' inverse needs
+    Huffman-code-ordered buckets, see core/a6.py)."""
     n = L.shape[0]
     Li = L.astype(jnp.int32)
     counts = jnp.zeros((256,), jnp.int32).at[Li].add(1)
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    # occ is always measured against byte-ordered slots (that is the order
+    # the stable sort below produces); custom ``starts`` only relocate the
+    # bucket bases in the final add
+    natural = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
+    if starts is None:
+        starts = natural
 
     iota = lax.iota(jnp.int32, n)
     _, sorted_idx = lax.sort((Li, iota), num_keys=1)  # stable within char
     pos_in_sorted = jnp.zeros((n,), jnp.int32).at[sorted_idx].set(iota)
-    occ_natural = pos_in_sorted - starts[Li]  # occurrences before i, index order
+    occ_natural = pos_in_sorted - natural[Li]  # occurrences before i, index order
 
     # base processed first (a4/'small') or last (a7/'large') instead of at
     # its natural index position: adjust occurrence counts of same-char slots.
@@ -54,6 +62,36 @@ def lf_successor(L: jnp.ndarray, base: jnp.ndarray, sentinel: str) -> jnp.ndarra
     return starts[Li] + occ
 
 
+def pointer_walk(L: jnp.ndarray, P: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
+    """Emit L[base], L[P[base]], ... via pointer doubling (log n rounds of
+    jump-table squaring) — the parallel answer to the serial chain
+    (a6/src/bwt.c:473-478)."""
+    n = L.shape[0]
+    rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 0
+    pos = jnp.zeros((n,), jnp.int32).at[0].set(base)
+    filled = 1
+    jump = P
+    for _ in range(rounds):
+        take = min(filled, n - filled)
+        if take > 0:
+            ext = jump[lax.dynamic_slice(pos, (0,), (filled,))][:take]
+            pos = lax.dynamic_update_slice(pos, ext, (filled,))
+            filled += take
+        if filled < n:
+            jump = jump[jump]
+    return L[pos]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def bwt_inverse_with_starts(L: jnp.ndarray, base: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Inverse with caller-supplied (e.g. code-ordered) bucket starts;
+    base-last roll convention (the a6/a7 family)."""
+    if L.shape[0] == 0:
+        return jnp.zeros((0,), jnp.uint8)
+    P = lf_successor(L, base, SENT_LARGE, starts)
+    return pointer_walk(L, P, base)
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def bwt_inverse(L: jnp.ndarray, base: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
     """Invert (L, base); returns the reverse of the pre-BWT string (which for
@@ -68,17 +106,4 @@ def bwt_inverse(L: jnp.ndarray, base: jnp.ndarray, sentinel: str = SENT_SMALL) -
     if n == 0:
         return jnp.zeros((0,), jnp.uint8)
     P = lf_successor(L, base, sentinel)
-
-    rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 0
-    pos = jnp.zeros((n,), jnp.int32).at[0].set(base)
-    filled = 1
-    jump = P
-    for _ in range(rounds):
-        take = min(filled, n - filled)
-        if take > 0:
-            ext = jump[lax.dynamic_slice(pos, (0,), (filled,))][:take]
-            pos = lax.dynamic_update_slice(pos, ext, (filled,))
-            filled += take
-        if filled < n:
-            jump = jump[jump]
-    return L[pos]
+    return pointer_walk(L, P, base)
