@@ -19,10 +19,16 @@ import time
 
 
 def _rw(args, fn):
+    import os
+
+    from .utils.timing import profile_trace
+
     with open(args.infile, "rb") as f:
         data = f.read()
     t0 = time.perf_counter()
-    out = fn(data)
+    # set ARCHON_PROFILE_DIR to capture a jax.profiler trace of the transform
+    with profile_trace(os.environ.get("ARCHON_PROFILE_DIR")):
+        out = fn(data)
     dt = time.perf_counter() - t0
     with open(args.outfile, "wb") as f:
         f.write(out)
@@ -33,6 +39,19 @@ def _rw(args, fn):
 
 
 def main(argv=None):
+    # honor JAX_PLATFORMS even where a sitecustomize force-registers an
+    # accelerator platform over it (this container's axon plugin does)
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:
+            pass
+
     p = argparse.ArgumentParser(prog="archon", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -60,8 +60,7 @@ def _init(data: jnp.ndarray, sentinel: str):
     return rank, jnp.sum(active.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel",))
-def _round_full(rank: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+def _round_full_body(rank: jnp.ndarray, k, sentinel: str):
     n = rank.shape[0]
     iota = lax.iota(jnp.int32, n)
     off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
@@ -87,6 +86,11 @@ def _round_full(rank: jnp.ndarray, k: jnp.ndarray, sentinel: str):
     return new_rank, jnp.sum(active.astype(jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _round_full(rank: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+    return _round_full_body(rank, k, sentinel)
+
+
 @functools.partial(jax.jit, static_argnames=("cap",))
 def _compact(rank: jnp.ndarray, cap: int):
     """Positions belonging to non-singleton groups, padded to cap with -1."""
@@ -105,8 +109,7 @@ def _compact(rank: jnp.ndarray, cap: int):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel",))
-def _round_active(rank: jnp.ndarray, apos: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+def _round_active_body(rank: jnp.ndarray, apos: jnp.ndarray, k, sentinel: str):
     """Refine only the active positions (capacity C = apos.shape[0])."""
     n = rank.shape[0]
     C = apos.shape[0]
@@ -156,6 +159,11 @@ def _round_active(rank: jnp.ndarray, apos: jnp.ndarray, k: jnp.ndarray, sentinel
     return rank, new_apos, nactive
 
 
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _round_active(rank: jnp.ndarray, apos: jnp.ndarray, k: jnp.ndarray, sentinel: str):
+    return _round_active_body(rank, apos, k, sentinel)
+
+
 def safe_where(valid, apos):
     # pads carry -1 so they sort deterministically and are dropped later
     return jnp.where(valid, apos, jnp.int32(-1))
@@ -167,45 +175,73 @@ def _finish(rank: jnp.ndarray):
     return _invert_permutation(rank, lax.iota(jnp.int32, n))
 
 
-def _cap_ladder(n: int):
-    caps = []
-    c = max(n // 4, 1)
-    while c >= 4096 and c >= 64:
-        caps.append(c)
-        c //= 8
-    caps.append(max(min(n, 4096), 1))
-    return caps
+@functools.partial(jax.jit, static_argnames=("sentinel", "stop_den"))
+def _phase_full(rank, k, nactive, sentinel: str, stop_den: int):
+    """Fused full-size rounds: loop on device until the active fraction
+    drops below 1/stop_den (or done) — a single host sync per phase instead
+    of one per round (each sync costs ~300 ms through the axon relay)."""
+    n = rank.shape[0]
+
+    def cond(state):
+        k, rank, nactive = state
+        return (nactive * stop_den > n) & (nactive > 0) & (k < n)
+
+    def body(state):
+        k, rank, _ = state
+        new_rank, na = _round_full_body(rank, k, sentinel)
+        return k * 4, new_rank, na
+
+    return lax.while_loop(cond, body, (k, rank, nactive))
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel", "stop_den"))
+def _phase_active(rank, apos, k, nactive, sentinel: str, stop_den: int):
+    """Fused narrowed rounds at fixed capacity C = apos.shape[0]."""
+    n = rank.shape[0]
+
+    def cond(state):
+        k, rank, apos, nactive = state
+        more = (nactive * stop_den > n) if stop_den else (nactive > 0)
+        return more & (nactive > 0) & (k < n)
+
+    def body(state):
+        k, rank, apos, _ = state
+        rank, apos, na = _round_active_body(rank, apos, k, sentinel)
+        return k * 4, rank, apos, na
+
+    return lax.while_loop(cond, body, (k, rank, apos, nactive))
 
 
 def suffix_array_fast(data, sentinel: str = SENT_SMALL, return_device: bool = False):
-    """Suffix array with active-set narrowing; host-driven round loop.
+    """Suffix array with active-set narrowing, phased for minimal host syncs.
 
-    Semantically identical to core.doubling.suffix_array (tested against the
-    golden model); much faster on inputs whose ties persist to large k.
-    ``return_device=True`` keeps the result on device (device->host transfer
-    of the SA costs more than the whole computation through the axon relay).
+    Three fused device phases — full-size rounds while >1/4 of suffixes are
+    tied, narrowed rounds at capacity n/4 while >1/32 are tied, then a final
+    narrowed phase at capacity n/32 running to completion — with one scalar
+    sync between phases.  Semantically identical to
+    core.doubling.suffix_array (golden-tested); structurally superior on
+    repetition-heavy inputs where ties persist to large k.
+    ``return_device=True`` keeps the result on device (the SA transfer costs
+    more than the computation through the axon relay).
     """
     arr = jnp.asarray(data, dtype=jnp.uint8) if not isinstance(data, jnp.ndarray) else data
     n = arr.shape[0]
     if n <= 1:
         return np.zeros(n, np.int32)
     rank, nactive = _init(arr, sentinel)
-    nactive = int(nactive)
-    k = 3
-    caps = _cap_ladder(n)
-    apos = None
-    cap = None
-    while nactive > 0 and k < n:
-        if apos is None and nactive * 4 > n:
-            rank, nactive = _round_full(rank, jnp.int32(k), sentinel)
-            nactive = int(nactive)
-        else:
-            want = next((c for c in caps if c >= nactive), caps[0])
-            if apos is None or want < cap:
-                cap = want
-                apos = _compact(rank, cap)
-            rank, apos, nactive = _round_active(rank, apos, jnp.int32(k), sentinel)
-            nactive = int(nactive)
-        k *= 4
+
+    k, rank, nactive = _phase_full(rank, jnp.int32(3), nactive, sentinel, 4)
+    na = int(nactive)
+    if na > 0 and int(k) < n:
+        cap1 = max(min(n, 4096), n // 4)
+        apos = _compact(rank, cap1)
+        k, rank, apos, nactive = _phase_active(rank, apos, k, nactive, sentinel, 32)
+        na = int(nactive)
+        if na > 0 and int(k) < n:
+            cap2 = max(min(n, 4096), n // 32)
+            apos2 = _compact(rank, cap2)
+            k, rank, apos2, nactive = _phase_active(
+                rank, apos2, k, nactive, sentinel, 0
+            )
     sa = _finish(rank)
     return sa if return_device else np.asarray(sa)

@@ -1,0 +1,28 @@
+"""JAX a6 path vs golden emulator (CPU)."""
+
+import numpy as np
+import pytest
+
+from archon_tpu.core import a6 as j6
+from archon_tpu.golden import a6 as g6
+from archon_tpu.utils.corpus import text_like
+
+
+def _cases():
+    rng = np.random.default_rng(0x66)
+    out = [b"banana", b"abracadabra alakazam", text_like(997)]
+    for _ in range(3):
+        out.append(bytes(rng.integers(0, 50, 256, dtype=np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("cfg", ["byte", "fix", "var"])
+def test_jax_a6_matches_golden(cfg):
+    for data in _cases():
+        try:
+            want = g6.a6_encode(data, cfg)
+        except ValueError:
+            continue
+        got = j6.a6_encode(data, cfg)
+        assert got == want, f"{cfg} n={len(data)}"
+        assert j6.a6_decode(got, cfg) == data
