@@ -78,7 +78,17 @@ def encode_file(data: bytes, generation: str = "a4", block_size: int = DEFAULT_B
     return b"".join(chunks)
 
 
-def decode_file(blob: bytes) -> bytes:
+def decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
+    """Invert a container.  ``strict=False`` gives per-block fault isolation
+    (the recovery granularity SURVEY.md section 5 calls for): a corrupt block
+    — LF walk not a single cycle — is replaced by zero bytes and reported via
+    ``on_error(block_index, exception)`` instead of poisoning the whole file;
+    every other block decodes normally and can be re-dispatched.
+    """
+    return _decode_file(blob, strict, on_error)
+
+
+def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
     from ..core.doubling import SENT_SMALL, SENT_LARGE
     from ..core.unbwt import bwt_inverse
     import jax.numpy as jnp
@@ -92,6 +102,7 @@ def decode_file(blob: bytes) -> bytes:
     use_native = native.available()
     pos = 12
     out = []
+    idx = 0
     while pos < len(blob):
         (n,) = struct.unpack("<I", blob[pos : pos + 4])
         pos += 4
@@ -100,11 +111,25 @@ def decode_file(blob: bytes) -> bytes:
         (base,) = struct.unpack("<I", blob[pos : pos + 4])
         pos += 4
         if n:
-            if use_native:
-                out.append(native.unbwt(L, base, sentinel == SENT_LARGE).tobytes())
-            else:
-                rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
-                out.append(np.asarray(rt).tobytes())
+            try:
+                if base >= n:
+                    raise ValueError(f"block {idx}: base {base} out of range")
+                if not strict and use_native and not native.verify_cycle(
+                    L, base, sentinel == SENT_LARGE
+                ):
+                    raise ValueError(f"block {idx}: LF walk is not a single cycle")
+                if use_native:
+                    out.append(native.unbwt(L, base, sentinel == SENT_LARGE).tobytes())
+                else:
+                    rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
+                    out.append(np.asarray(rt).tobytes())
+            except ValueError as e:
+                if strict:
+                    raise
+                if on_error is not None:
+                    on_error(idx, e)
+                out.append(b"\x00" * n)
+        idx += 1
     return b"".join(out)
 
 

@@ -71,3 +71,26 @@ def test_cli_a6_roundtrip(tmp_path):
         )
         assert r.returncode == 0, r.stderr[-500:]
     assert dec.read_bytes() == data
+
+
+def test_block_fault_isolation():
+    """A corrupt block is isolated and reported; others decode (SURVEY §5
+    failure-recovery granularity)."""
+    from archon_tpu import native
+
+    data = text_like(4096)
+    blob = bytearray(blocks.encode_file(data, "a4", block_size=1024))
+    # corrupt block 1's base field: header(12) + block0(4+1024+4) + 4 + 1024
+    base_off = 12 + (4 + 1024 + 4) + 4 + 1024
+    blob[base_off:base_off + 4] = (10**9).to_bytes(4, "little")
+    errors = []
+    out = blocks.decode_file(bytes(blob), strict=False,
+                             on_error=lambda i, e: errors.append(i))
+    assert errors == [1]
+    assert out[:1024] == data[:1024]
+    assert out[1024:2048] == b"\x00" * 1024
+    assert out[2048:] == data[2048:]
+    import pytest
+
+    with pytest.raises(ValueError):
+        blocks.decode_file(bytes(blob), strict=True)
