@@ -57,3 +57,16 @@ def verify_sa(data: jnp.ndarray, sa: jnp.ndarray, sentinel: str = SENT_SMALL) ->
     c_eq = c[:-1] == c[1:]
     adj_ok = jnp.all(c_lt | (c_eq & (nxt[:-1] < nxt[1:]))) if n > 1 else jnp.bool_(True)
     return perm_ok & adj_ok
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_forward_fast(data: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Forward BWT on the narrowed (fused) suffix sorter — the production
+    path for repetition-heavy corpora."""
+    from .fast import suffix_array_fused
+
+    n = data.shape[0]
+    sa = suffix_array_fused(data, sentinel)
+    L = data[(sa - 1) % n]
+    base = jnp.argmax(sa == 0).astype(jnp.int32)
+    return L, base, sa

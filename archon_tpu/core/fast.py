@@ -14,9 +14,11 @@ Key invariant: ranks are *positional* — rank[p] = sorted position of p's
 group head — so refining a subset assigns globally consistent new ranks
 (group head position + subgroup offset) without renumbering anything else.
 
-The host drives jitted stage functions and reads back one scalar (the
-active count) per round; capacities come from a fixed bucket ladder so each
-shape compiles once.
+The production entry (`suffix_array_fused`) fuses everything — init, full
+rounds, cond-guarded compactions, narrowed rounds, final inversion — into a
+single jit so no host round trip happens mid-computation (each costs
+~300 ms through this environment's relay).  The per-stage jitted wrappers
+remain for tests and instrumentation.
 """
 
 from __future__ import annotations
@@ -42,8 +44,7 @@ def _actives_from_heads(head: jnp.ndarray):
     return jnp.logical_not(head.astype(bool) & nxt.astype(bool))
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel",))
-def _init(data: jnp.ndarray, sentinel: str):
+def _init_body(data: jnp.ndarray, sentinel: str):
     n = data.shape[0]
     iota = lax.iota(jnp.int32, n)
     ext = data.astype(jnp.int32) + 1
@@ -58,6 +59,11 @@ def _init(data: jnp.ndarray, sentinel: str):
     rank = _invert_permutation(sorted_idx, ranks_sorted)
     active = _actives_from_heads(head)
     return rank, jnp.sum(active.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def _init(data: jnp.ndarray, sentinel: str):
+    return _init_body(data, sentinel)
 
 
 def _round_full_body(rank: jnp.ndarray, k, sentinel: str):
@@ -91,8 +97,7 @@ def _round_full(rank: jnp.ndarray, k: jnp.ndarray, sentinel: str):
     return _round_full_body(rank, k, sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _compact(rank: jnp.ndarray, cap: int):
+def _compact_body(rank: jnp.ndarray, cap: int):
     """Positions belonging to non-singleton groups, padded to cap with -1."""
     n = rank.shape[0]
     iota = lax.iota(jnp.int32, n)
@@ -107,6 +112,11 @@ def _compact(rank: jnp.ndarray, cap: int):
     out = jnp.where(lax.iota(jnp.int32, cap) < jnp.sum(active.astype(jnp.int32)),
                     pos[:cap], jnp.int32(-1))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact(rank: jnp.ndarray, cap: int):
+    return _compact_body(rank, cap)
 
 
 def _round_active_body(rank: jnp.ndarray, apos: jnp.ndarray, k, sentinel: str):
@@ -212,36 +222,76 @@ def _phase_active(rank, apos, k, nactive, sentinel: str, stop_den: int):
     return lax.while_loop(cond, body, (k, rank, apos, nactive))
 
 
-def suffix_array_fast(data, sentinel: str = SENT_SMALL, return_device: bool = False):
-    """Suffix array with active-set narrowing, phased for minimal host syncs.
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def suffix_array_fused(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
+    """Fully fused narrowed suffix array: one jit, zero mid-computation host
+    syncs (each host round trip costs ~300 ms through the axon relay, which
+    dominated the phased variant).
 
-    Three fused device phases — full-size rounds while >1/4 of suffixes are
-    tied, narrowed rounds at capacity n/4 while >1/32 are tied, then a final
-    narrowed phase at capacity n/32 running to completion — with one scalar
-    sync between phases.  Semantically identical to
-    core.doubling.suffix_array (golden-tested); structurally superior on
-    repetition-heavy inputs where ties persist to large k.
-    ``return_device=True`` keeps the result on device (the SA transfer costs
-    more than the computation through the axon relay).
+    Structure: init -> while_loop of full rounds while >1/4 of suffixes are
+    tied -> (cond-guarded) compaction to capacity n/4 + narrowed while_loop
+    while >1/32 tied -> (cond-guarded) compaction to n/32 + narrowed
+    while_loop to completion -> final inversion.  The compaction/narrowed
+    stages are skipped on-device when everything already resolved.
+    """
+    n = data.shape[0]
+    if n <= 1:
+        return jnp.zeros((n,), jnp.int32)
+    rank, nactive = _init_body(data, sentinel)
+
+    def full_cond(state):
+        k, rank, na = state
+        return (na * 4 > n) & (na > 0) & (k < n)
+
+    def full_body(state):
+        k, rank, _ = state
+        new_rank, na = _round_full_body(rank, k, sentinel)
+        return k * 4, new_rank, na
+
+    k, rank, nactive = lax.while_loop(
+        full_cond, full_body, (jnp.int32(3), rank, nactive)
+    )
+
+    def narrowed_stage(k, rank, nactive, cap, stop_den):
+        def run(args):
+            k, rank, na = args
+            apos = _compact_body(rank, cap)
+
+            def cond(state):
+                k, rank, apos, na = state
+                more = (na * stop_den > n) if stop_den else (na > 0)
+                return more & (na > 0) & (k < n)
+
+            def body(state):
+                k, rank, apos, _ = state
+                rank, apos, na = _round_active_body(rank, apos, k, sentinel)
+                return k * 4, rank, apos, na
+
+            k, rank, _, na = lax.while_loop(cond, body, (k, rank, apos, na))
+            return k, rank, na
+
+        return lax.cond(
+            (nactive > 0) & (k < n), run, lambda a: a, (k, rank, nactive)
+        )
+
+    cap1 = max(min(n, 4096), n // 4)
+    cap2 = max(min(n, 4096), n // 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap1, 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap2, 0)
+    return _invert_permutation(rank, lax.iota(jnp.int32, n))
+
+
+def suffix_array_fast(data, sentinel: str = SENT_SMALL, return_device: bool = False):
+    """Narrowed suffix array (single fused jit call).
+
+    Semantically identical to core.doubling.suffix_array (golden-tested);
+    structurally superior on repetition-heavy inputs where ties persist to
+    large k.  ``return_device=True`` keeps the result on device (the SA
+    transfer costs more than the computation through the axon relay).
     """
     arr = jnp.asarray(data, dtype=jnp.uint8) if not isinstance(data, jnp.ndarray) else data
     n = arr.shape[0]
     if n <= 1:
         return np.zeros(n, np.int32)
-    rank, nactive = _init(arr, sentinel)
-
-    k, rank, nactive = _phase_full(rank, jnp.int32(3), nactive, sentinel, 4)
-    na = int(nactive)
-    if na > 0 and int(k) < n:
-        cap1 = max(min(n, 4096), n // 4)
-        apos = _compact(rank, cap1)
-        k, rank, apos, nactive = _phase_active(rank, apos, k, nactive, sentinel, 32)
-        na = int(nactive)
-        if na > 0 and int(k) < n:
-            cap2 = max(min(n, 4096), n // 32)
-            apos2 = _compact(rank, cap2)
-            k, rank, apos2, nactive = _phase_active(
-                rank, apos2, k, nactive, sentinel, 0
-            )
-    sa = _finish(rank)
+    sa = suffix_array_fused(arr, sentinel)
     return sa if return_device else np.asarray(sa)

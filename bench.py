@@ -21,18 +21,21 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 1 << 26))  # 64 MiB default
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
+    impl = os.environ.get("BENCH_IMPL", "fast")  # fast (narrowed) | plain
+
     import jax
     import jax.numpy as jnp
 
-    from archon_tpu.core.bwt import bwt_forward
+    from archon_tpu.core.bwt import bwt_forward, bwt_forward_fast
     from archon_tpu.utils.corpus import load_or_synthesize
 
     name, data = load_or_synthesize(size)
     arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+    fwd = bwt_forward_fast if impl == "fast" else bwt_forward
 
     @jax.jit
     def step(x):
-        L, base, _ = bwt_forward(x, "small")
+        L, base, _ = fwd(x, "small")
         # tiny reduction so a scalar fetch forces the full computation
         # (block_until_ready is unreliable over the axon relay)
         return L, base, L.astype(jnp.int32).sum() + base
