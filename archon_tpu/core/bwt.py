@@ -62,11 +62,15 @@ def verify_sa(data: jnp.ndarray, sa: jnp.ndarray, sentinel: str = SENT_SMALL) ->
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def bwt_forward_fast(data: jnp.ndarray, sentinel: str = SENT_SMALL):
     """Forward BWT on the narrowed (fused) suffix sorter — the production
-    path for repetition-heavy corpora."""
-    from .fast import suffix_array_fused
+    path.  Emits straight from the rank array: L[rank[p]] = data[p-1 mod n]
+    is one scatter, and base = rank[0]; this skips the final SA inversion
+    sort and the random payload gather (~0.5 s at 2^25 on v5e).
+    Returns (L, base, rank) — rank is the inverse SA."""
+    from .fast import suffix_ranks_fused
 
     n = data.shape[0]
-    sa = suffix_array_fused(data, sentinel)
-    L = data[(sa - 1) % n]
-    base = jnp.argmax(sa == 0).astype(jnp.int32)
-    return L, base, sa
+    rank = suffix_ranks_fused(data, sentinel)
+    prev = jnp.roll(data, 1)
+    L = jnp.zeros((n,), jnp.uint8).at[rank].set(prev)
+    base = rank[0]
+    return L, base, rank

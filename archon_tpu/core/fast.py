@@ -281,6 +281,58 @@ def suffix_array_fused(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.nda
     return _invert_permutation(rank, lax.iota(jnp.int32, n))
 
 
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def suffix_ranks_fused(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
+    """Like suffix_array_fused but returns the rank array (inverse SA) and
+    skips the final inversion sort — BWT emission only needs ranks (see
+    core/bwt.bwt_forward_fast), saving an inversion sort + payload gather."""
+    n = data.shape[0]
+    if n <= 1:
+        return jnp.zeros((n,), jnp.int32)
+    rank, nactive = _init_body(data, sentinel)
+
+    def full_cond(state):
+        k, rank, na = state
+        return (na * 4 > n) & (na > 0) & (k < n)
+
+    def full_body(state):
+        k, rank, _ = state
+        new_rank, na = _round_full_body(rank, k, sentinel)
+        return k * 4, new_rank, na
+
+    k, rank, nactive = lax.while_loop(
+        full_cond, full_body, (jnp.int32(3), rank, nactive)
+    )
+
+    def narrowed_stage(k, rank, nactive, cap, stop_den):
+        def run(args):
+            k, rank, na = args
+            apos = _compact_body(rank, cap)
+
+            def cond(state):
+                k, rank, apos, na = state
+                more = (na * stop_den > n) if stop_den else (na > 0)
+                return more & (na > 0) & (k < n)
+
+            def body(state):
+                k, rank, apos, _ = state
+                rank, apos, na = _round_active_body(rank, apos, k, sentinel)
+                return k * 4, rank, apos, na
+
+            k, rank, _, na = lax.while_loop(cond, body, (k, rank, apos, na))
+            return k, rank, na
+
+        return lax.cond(
+            (nactive > 0) & (k < n), run, lambda a: a, (k, rank, nactive)
+        )
+
+    cap1 = max(min(n, 4096), n // 4)
+    cap2 = max(min(n, 4096), n // 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap1, 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap2, 0)
+    return rank
+
+
 def suffix_array_fast(data, sentinel: str = SENT_SMALL, return_device: bool = False):
     """Narrowed suffix array (single fused jit call).
 
