@@ -1,0 +1,273 @@
+"""Batched (block-parallel) suffix sorting: many blocks in one fused jit.
+
+The reference's production compressors are *block-streaming*: x1 fixes 4 MiB
+blocks (final/x1/ArchonX1.c:19,53-60), x2/x3 take ``-b`` and transform each
+block independently (final/x2/ArchonX2.c:87-107, final/x3/archon.c:119-143).
+That framing is the natural TPU batch axis: ``lax.sort`` sorts along the last
+axis, so a (B, nb) array is B independent sorts in ONE kernel launch — far
+better MXU/VPU occupancy than one giant sort (measured: 2^25 elements sort
+3x faster as 8 rows than as one row), and every block shares the same
+doubling schedule ``k = 3, 12, 48, ...`` so the whole batch runs under a
+single fused while_loop with scalar ``k``.
+
+This module is the 2D generalization of ``core.fast`` (same invariants:
+positional ranks, active-set narrowing, zero mid-compute host syncs).  A
+hand-written batch beats ``jax.vmap`` over the 1D path because vmap would
+lift the per-block loop counters into per-element dynamic-slice starts
+(degrading contiguous shifts into gathers); here ``k`` stays scalar.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .doubling import SENT_LARGE, SENT_SMALL
+
+_EXT_BASE = 512
+
+
+def _row_iota(B: int, n: int):
+    return jnp.broadcast_to(lax.iota(jnp.int32, n), (B, n))
+
+
+def _positional_ranks2(head: jnp.ndarray, iota2: jnp.ndarray):
+    """Per-row rank-by-sorted-slot: position of the group head."""
+    return lax.cummax(jnp.where(head.astype(bool), iota2, 0), axis=1)
+
+
+def _actives_from_heads2(head: jnp.ndarray):
+    nxt = jnp.concatenate(
+        [head[:, 1:], jnp.ones_like(head[:, :1])], axis=1
+    )
+    return jnp.logical_not(head.astype(bool) & nxt.astype(bool))
+
+
+def _invert_rows(perm: jnp.ndarray, values: jnp.ndarray):
+    """Per-row permutation inversion via sort (cheaper than scatter on TPU)."""
+    _, out = lax.sort((perm, values), num_keys=1, dimension=1)
+    return out
+
+
+def _init2(data2: jnp.ndarray, sentinel: str):
+    """Order-3 initial ranks per row.  data2: (B, n) uint8."""
+    B, n = data2.shape
+    iota2 = _row_iota(B, n)
+    ext = data2.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((B, 2), pad_val, jnp.int32)], axis=1)
+    packed = (
+        extp[:, :n] * (_EXT_BASE * _EXT_BASE)
+        + extp[:, 1 : n + 1] * _EXT_BASE
+        + extp[:, 2 : n + 2]
+    )
+    sorted_keys, sorted_idx = lax.sort((packed, iota2), num_keys=1, dimension=1)
+    head = jnp.concatenate(
+        [
+            jnp.ones((B, 1), jnp.int32),
+            (sorted_keys[:, 1:] != sorted_keys[:, :-1]).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    ranks_sorted = _positional_ranks2(head, iota2)
+    rank = _invert_rows(sorted_idx, ranks_sorted)
+    active = _actives_from_heads2(head)
+    return rank, jnp.sum(active.astype(jnp.int32), axis=1)
+
+
+def _shifted2(padded: jnp.ndarray, iota2: jnp.ndarray, n: int, k, off_end):
+    """rank[:, i+k] with off-end sentinel (contiguous per-row slice)."""
+    sl = lax.dynamic_slice_in_dim(padded, jnp.minimum(k, n), n, axis=1)
+    return jnp.where(iota2 + k < n, sl, off_end)
+
+
+def _round_full2(rank: jnp.ndarray, k, sentinel: str):
+    B, n = rank.shape
+    iota2 = _row_iota(B, n)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    padded = jnp.concatenate([rank, jnp.full((B, n), off_end, jnp.int32)], axis=1)
+    r1 = _shifted2(padded, iota2, n, k, off_end)
+    r2 = _shifted2(padded, iota2, n, 2 * k, off_end)
+    r3 = _shifted2(padded, iota2, n, 3 * k, off_end)
+    r0_s, r1_s, r2_s, r3_s, sorted_idx = lax.sort(
+        (rank, r1, r2, r3, iota2), num_keys=4, dimension=1
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((B, 1), jnp.int32),
+            (
+                (r0_s[:, 1:] != r0_s[:, :-1])
+                | (r1_s[:, 1:] != r1_s[:, :-1])
+                | (r2_s[:, 1:] != r2_s[:, :-1])
+                | (r3_s[:, 1:] != r3_s[:, :-1])
+            ).astype(jnp.int32),
+        ],
+        axis=1,
+    )
+    ranks_sorted = _positional_ranks2(head, iota2)
+    new_rank = _invert_rows(sorted_idx, ranks_sorted)
+    active = _actives_from_heads2(head)
+    return new_rank, jnp.sum(active.astype(jnp.int32), axis=1)
+
+
+def _compact2(rank: jnp.ndarray, cap: int):
+    """Per-row active positions (non-singleton groups), -1-padded to cap."""
+    B, n = rank.shape
+    iota2 = _row_iota(B, n)
+    r_s, idx_s = lax.sort((rank, iota2), num_keys=1, dimension=1)
+    head = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.int32), (r_s[:, 1:] != r_s[:, :-1]).astype(jnp.int32)],
+        axis=1,
+    )
+    active = _actives_from_heads2(head)
+    key = jnp.where(active, jnp.int32(0), jnp.int32(1))
+    _, pos = lax.sort((key, idx_s), num_keys=1, dimension=1)
+    nact = jnp.sum(active.astype(jnp.int32), axis=1, keepdims=True)
+    out = jnp.where(_row_iota(B, cap) < nact, pos[:, :cap], jnp.int32(-1))
+    return out
+
+
+def _take_rows(arr2: jnp.ndarray, idx2: jnp.ndarray):
+    return jnp.take_along_axis(arr2, idx2, axis=1)
+
+
+def _round_active2(rank: jnp.ndarray, apos: jnp.ndarray, k, sentinel: str):
+    """Refine only active positions per row (capacity C = apos.shape[1])."""
+    B, n = rank.shape
+    C = apos.shape[1]
+    iota_c = _row_iota(B, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    valid = apos >= 0
+    safe = jnp.where(valid, apos, 0)
+    BIG = jnp.int32(0x7FFFFFFF)
+
+    r0 = jnp.where(valid, _take_rows(rank, safe), BIG)
+
+    def shifted(j):
+        p = safe + j * k
+        ok = valid & (p < n)
+        return jnp.where(ok, _take_rows(rank, jnp.minimum(p, n - 1)), off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    pos_key = jnp.where(valid, apos, jnp.int32(-1))
+    r0_s, r1_s, r2_s, r3_s, pos_s = lax.sort(
+        (r0, r1, r2, r3, pos_key), num_keys=4, dimension=1
+    )
+
+    ones = jnp.ones((B, 1), jnp.bool_)
+    h0 = jnp.concatenate([ones, r0_s[:, 1:] != r0_s[:, :-1]], axis=1)
+    h4 = h0 | jnp.concatenate(
+        [
+            ones,
+            (r1_s[:, 1:] != r1_s[:, :-1])
+            | (r2_s[:, 1:] != r2_s[:, :-1])
+            | (r3_s[:, 1:] != r3_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0), axis=1)
+    t4 = lax.cummax(jnp.where(h4, iota_c, 0), axis=1)
+    new_rank_s = r0_s + (t4 - t0)
+
+    pad = pos_s < 0
+    nxt_h4 = jnp.concatenate([h4[:, 1:], ones], axis=1)
+    still = jnp.logical_not(h4 & nxt_h4) & jnp.logical_not(pad)
+
+    new_rank_s = jnp.where(pad, jnp.int32(0), new_rank_s)
+    upd_pos = jnp.where(pad, jnp.int32(n), pos_s)  # n = out of bounds -> drop
+    rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, C))
+    rank = rank.at[rows, upd_pos].set(new_rank_s, mode="drop")
+
+    key = jnp.where(still, jnp.int32(0), jnp.int32(1))
+    _, new_apos = lax.sort(
+        (key, jnp.where(still, pos_s, jnp.int32(-1))), num_keys=1, dimension=1
+    )
+    nactive = jnp.sum(still.astype(jnp.int32), axis=1)
+    new_apos = jnp.where(iota_c < nactive[:, None], new_apos, jnp.int32(-1))
+    return rank, new_apos, nactive
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def suffix_ranks_batched(data2: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
+    """Rank arrays (inverse SAs) of every row of (B, n) uint8, fully fused.
+
+    Same three-phase structure as core.fast.suffix_ranks_fused — full
+    quadrupling rounds while >1/4 of any block's suffixes are tied, then
+    narrowed rounds at capacity n/4 and n/32 — but with all blocks advancing
+    in lockstep under one scalar ``k``.  Blocks that finish early ride along
+    idempotently (their rounds are no-ops by the positional-rank invariant).
+    """
+    B, n = data2.shape
+    if n <= 1:
+        return jnp.zeros((B, n), jnp.int32)
+    rank, nactive = _init2(data2, sentinel)
+
+    def full_cond(state):
+        k, rank, na = state
+        return (jnp.max(na) * 4 > n) & (jnp.max(na) > 0) & (k < n)
+
+    def full_body(state):
+        k, rank, _ = state
+        new_rank, na = _round_full2(rank, k, sentinel)
+        return k * 4, new_rank, na
+
+    k, rank, nactive = lax.while_loop(
+        full_cond, full_body, (jnp.int32(3), rank, nactive)
+    )
+
+    def narrowed_stage(k, rank, nactive, cap, stop_den):
+        def run(args):
+            k, rank, na = args
+            apos = _compact2(rank, cap)
+
+            def cond(state):
+                k, rank, apos, na = state
+                more = (jnp.max(na) * stop_den > n) if stop_den else (jnp.max(na) > 0)
+                return more & (jnp.max(na) > 0) & (k < n)
+
+            def body(state):
+                k, rank, apos, _ = state
+                rank, apos, na = _round_active2(rank, apos, k, sentinel)
+                return k * 4, rank, apos, na
+
+            k, rank, _, na = lax.while_loop(cond, body, (k, rank, apos, na))
+            return k, rank, na
+
+        return lax.cond(
+            (jnp.max(nactive) > 0) & (k < n), run, lambda a: a, (k, rank, nactive)
+        )
+
+    cap1 = max(min(n, 4096), n // 4)
+    cap2 = max(min(n, 4096), n // 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap1, 32)
+    k, rank, nactive = narrowed_stage(k, rank, nactive, cap2, 0)
+    return rank
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_forward_batched(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Block-parallel forward BWT: (B, n) uint8 -> (L2, base2, rank2).
+
+    L2[b, rank2[b, p]] = data2[b, (p-1) mod n]; base2[b] = rank2[b, 0].
+    Rank-direct emission (no SA inversion, no random gather), per block —
+    the batched analog of core.bwt.bwt_forward_fast.
+    """
+    B, n = data2.shape
+    rank = suffix_ranks_batched(data2, sentinel)
+    prev = jnp.roll(data2, 1, axis=1)
+    rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, n))
+    L = jnp.zeros((B, n), jnp.uint8).at[rows, rank].set(prev)
+    base = rank[:, 0]
+    return L, base, rank
+
+
+def suffix_arrays_batched(data2, sentinel: str = SENT_SMALL):
+    """Per-row suffix arrays (host convenience; inverts the rank rows)."""
+    arr = jnp.asarray(np.ascontiguousarray(data2), dtype=jnp.uint8)
+    rank = suffix_ranks_batched(arr, sentinel)
+    B, n = arr.shape
+    return np.asarray(_invert_rows(rank, _row_iota(B, n)))
