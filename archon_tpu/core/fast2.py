@@ -1,0 +1,473 @@
+"""Measurement-tuned fused suffix sorter (v2 of core.fast).
+
+Restructured from on-TPU primitive profiles (2^25 elements, v5e via relay):
+
+  sort 1key+payload 105ms   sort 4key+payload 219ms   int64 sorts: slower
+  random gather  n=516ms  n/4=137ms  n/32=38ms   (16 ns/elem — expensive!)
+  random scatter n=262ms  n/4-into-n=76ms
+  emission: sort(rank, u8) 118ms  vs  scatter 262ms
+
+Consequences implemented here (deltas vs core.fast):
+
+1. Narrowed (active-set) rounds are *gather-bound*: refining C actives costs
+   3-4 random gathers of C, so narrowing only pays once C <= n/16 — the v1
+   n/4 stage cost MORE than a full-width round.  Thresholds: full rounds
+   while actives > n/16, then capacities n/16 and n/256.
+2. The group-head rank r0 of each active suffix is *carried* through the
+   narrowed loop (it equals the refined rank computed the round before), so
+   each narrowed round performs 3 gathers (r@k, r@2k, r@3k), not 4.
+3. Compaction reuses the preceding full round's own sorted order (its
+   sorted_idx / head flags ride along in the loop state), replacing v1's
+   _compact (two full-width sorts) with one.
+4. int64 key packing is rejected: TPU int64 sorts are emulated 2-word sorts
+   (143ms vs 105ms single int32) — multi-operand int32 sorts win.
+
+The quadrupling-round structure (sort rank, r@k, r@2k, r@3k -> context x4
+per sort) and the positional-rank invariant are unchanged from core.fast;
+results are bit-identical (tested against the golden model and the v1 path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .doubling import SENT_LARGE, SENT_SMALL, _invert_permutation
+
+_BIG = jnp.int32(0x7FFFFFFF)
+_EXT_BASE = 512
+
+
+def _bootstrap_round(data: jnp.ndarray, sentinel: str):
+    """First sort straight off the text: four packed-trigram keys at offsets
+    0,3,6,9 give context 12 in ONE 4-key sort — replacing v1's separate
+    order-3 init (a full sort + inversion, 234ms at 2^25) entirely.
+
+    Trigrams use the 9-bit extended-symbol space (byte b -> b+1, off-end pad
+    0 or 511) so short suffixes order correctly vs embedded 0x00/0xFF bytes;
+    raw-byte packing would leave end-adjacent suffix pairs permanently tied
+    (both read the off-end rank sentinel at every later offset)."""
+    n = data.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    ext = data.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((11,), pad_val, jnp.int32)])
+    p27 = (
+        extp[: n + 9] * (_EXT_BASE * _EXT_BASE)
+        + extp[1 : n + 10] * _EXT_BASE
+        + extp[2 : n + 11]
+    )
+
+    def key(j):
+        return lax.slice(p27, (3 * j,), (3 * j + n,))
+
+    k0, k1, k2, k3 = key(0), key(1), key(2), key(3)
+    k0_s, k1_s, k2_s, k3_s, sorted_idx = lax.sort((k0, k1, k2, k3, iota), num_keys=4)
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (k0_s[1:] != k0_s[:-1])
+            | (k1_s[1:] != k1_s[:-1])
+            | (k2_s[1:] != k2_s[:-1])
+            | (k3_s[1:] != k3_s[:-1]),
+        ]
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    rank = _invert_permutation(sorted_idx, ranks_sorted)
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32))
+    return rank, nactive, sorted_idx, ranks_sorted, active_s
+
+
+def _round_full_c(rank: jnp.ndarray, k, sentinel: str):
+    """Full-width quadrupling round; also returns the round's own sorted
+    order and active flags so a following compaction needs no re-sort."""
+    n = rank.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    padded = jnp.concatenate([rank, jnp.full((n,), off_end, jnp.int32)])
+
+    def shifted(j):
+        sl = lax.dynamic_slice(padded, (jnp.minimum(j * k, n),), (n,))
+        return jnp.where(iota + j * k < n, sl, off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    r0_s, r1_s, r2_s, r3_s, sorted_idx = lax.sort((rank, r1, r2, r3, iota), num_keys=4)
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (r0_s[1:] != r0_s[:-1])
+            | (r1_s[1:] != r1_s[:-1])
+            | (r2_s[1:] != r2_s[:-1])
+            | (r3_s[1:] != r3_s[:-1]),
+        ]
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    new_rank = _invert_permutation(sorted_idx, ranks_sorted)
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32))
+    return new_rank, nactive, sorted_idx, ranks_sorted, active_s
+
+
+def _compact_from_round(sorted_idx, ranks_sorted, active_s, cap: int):
+    """Active (position, group-head-rank) pairs from a round's sorted order.
+
+    One full-width sort (actives to the front) replaces v1's two."""
+    n = sorted_idx.shape[0]
+    key = jnp.where(active_s, jnp.int32(0), jnp.int32(1))
+    _, apos, ar0 = lax.sort((key, sorted_idx, ranks_sorted), num_keys=1)
+    nact = jnp.sum(active_s.astype(jnp.int32))
+    keep = lax.iota(jnp.int32, cap) < nact
+    return (
+        jnp.where(keep, apos[:cap], jnp.int32(-1)),
+        jnp.where(keep, ar0[:cap], _BIG),
+    )
+
+
+def _round_active_c(rank, apos, ar0, k, sentinel: str):
+    """Narrowed quadrupling round over C actives, carrying r0 (3 gathers)."""
+    n = rank.shape[0]
+    C = apos.shape[0]
+    iota_c = lax.iota(jnp.int32, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    valid = apos >= 0
+    safe = jnp.where(valid, apos, 0)
+
+    def shifted(j):
+        p = safe + j * k
+        ok = valid & (p < n)
+        return jnp.where(ok, rank[jnp.minimum(p, n - 1)], off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    r0 = jnp.where(valid, ar0, _BIG)
+    pos_key = jnp.where(valid, apos, jnp.int32(-1))
+    r0_s, r1_s, r2_s, r3_s, pos_s = lax.sort((r0, r1, r2, r3, pos_key), num_keys=4)
+
+    one = jnp.ones((1,), jnp.bool_)
+    h0 = jnp.concatenate([one, r0_s[1:] != r0_s[:-1]])
+    h4 = h0 | jnp.concatenate(
+        [one, (r1_s[1:] != r1_s[:-1]) | (r2_s[1:] != r2_s[:-1]) | (r3_s[1:] != r3_s[:-1])]
+    )
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0))
+    t4 = lax.cummax(jnp.where(h4, iota_c, 0))
+    new_rank_s = r0_s + (t4 - t0)
+
+    pad = pos_s < 0
+    nxt_h4 = jnp.concatenate([h4[1:], one])
+    still = jnp.logical_not(h4 & nxt_h4) & jnp.logical_not(pad)
+
+    new_rank_s = jnp.where(pad, jnp.int32(0), new_rank_s)
+    upd_pos = jnp.where(pad, jnp.int32(n), pos_s)
+    rank = rank.at[upd_pos].set(new_rank_s, mode="drop")
+
+    # compact still-active (pos, r0) to the front for the next round
+    key = jnp.where(still, jnp.int32(0), jnp.int32(1))
+    _, new_apos, new_ar0 = lax.sort(
+        (key, jnp.where(still, pos_s, jnp.int32(-1)), new_rank_s), num_keys=1
+    )
+    nactive = jnp.sum(still.astype(jnp.int32))
+    keep = iota_c < nactive
+    return (
+        rank,
+        jnp.where(keep, new_apos, jnp.int32(-1)),
+        jnp.where(keep, new_ar0, _BIG),
+        nactive,
+    )
+
+
+def _narrow_caps(n: int):
+    cap1 = max(min(n, 4096), n // 16)
+    cap2 = max(min(n, 4096), n // 256)
+    return cap1, cap2
+
+
+def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
+    n = data.shape[0]
+    cap1, cap2 = _narrow_caps(n)
+
+    # --- bootstrap: context 12 in one 4-key sort (no separate init)
+    rank, nactive, si, rs, ac = _bootstrap_round(data, sentinel)
+
+    # --- full-width quadrupling rounds while actives > n/16
+    def full_cond(state):
+        k, rank, na, _si, _rs, _ac = state
+        return (na * 16 > n) & (na > 0) & (k < n)
+
+    def full_body(state):
+        k, rank, _, _, _, _ = state
+        new_rank, na, si, rs, ac = _round_full_c(rank, k, sentinel)
+        return k * 4, new_rank, na, si, rs, ac
+
+    k, rank, nactive, si, rs, ac = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), rank, nactive, si, rs, ac)
+    )
+
+    # --- narrowed stage 1 at cap n/16 (reuses the last round's order)
+    def stage1(args):
+        k, rank, na, si, rs, ac = args
+        apos, ar0 = _compact_from_round(si, rs, ac, cap1)
+
+        def cond(state):
+            k, rank, apos, ar0, na = state
+            return (na * 256 > n) & (na > 0) & (k < n)
+
+        def body(state):
+            k, rank, apos, ar0, _ = state
+            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
+            return k * 4, rank, apos, ar0, na
+
+        k, rank, apos, ar0, na = lax.while_loop(
+            cond, body, (k, rank, apos, ar0, na)
+        )
+        return k, rank, na, apos, ar0
+
+    def skip1(args):
+        k, rank, na, _si, _rs, _ac = args
+        return (
+            k,
+            rank,
+            na,
+            jnp.full((cap1,), jnp.int32(-1)),
+            jnp.full((cap1,), _BIG),
+        )
+
+    k, rank, nactive, apos1, ar01 = lax.cond(
+        (nactive > 0) & (k < n), stage1, skip1, (k, rank, nactive, si, rs, ac)
+    )
+
+    # --- narrowed stage 2 at cap n/256 (compacts from stage 1's capacity)
+    def stage2(args):
+        k, rank, na, apos1, ar01 = args
+        keyc = jnp.where(apos1 >= 0, jnp.int32(0), jnp.int32(1))
+        _, aposc, ar0c = lax.sort((keyc, apos1, ar01), num_keys=1)
+        keep = lax.iota(jnp.int32, cap2) < na
+        apos = jnp.where(keep, aposc[:cap2], jnp.int32(-1))
+        ar0 = jnp.where(keep, ar0c[:cap2], _BIG)
+
+        def cond(state):
+            k, rank, apos, ar0, na = state
+            return (na > 0) & (k < n)
+
+        def body(state):
+            k, rank, apos, ar0, _ = state
+            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
+            return k * 4, rank, apos, ar0, na
+
+        k, rank, _, _, na = lax.while_loop(cond, body, (k, rank, apos, ar0, na))
+        return k, rank, na
+
+    k, rank, nactive = lax.cond(
+        (nactive > 0) & (k < n),
+        stage2,
+        lambda a: (a[0], a[1], a[2]),
+        (k, rank, nactive, apos1, ar01),
+    )
+    return rank
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def suffix_ranks_v2(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
+    """Rank array (inverse SA) of ``data`` (uint8), one fused jit."""
+    n = data.shape[0]
+    if n <= 1:
+        return jnp.zeros((n,), jnp.int32)
+    return _ranks_impl(data, sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def suffix_array_v2(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarray:
+    n = data.shape[0]
+    if n <= 1:
+        return jnp.zeros((n,), jnp.int32)
+    rank = _ranks_impl(data, sentinel)
+    return _invert_permutation(rank, lax.iota(jnp.int32, n))
+
+
+def _bootstrap_sorted(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
+    """Bootstrap WITHOUT the rank inversion: returns the sorted-order state
+    (sorted_idx, ranks_sorted, active flags, nactive, prev_sorted)."""
+    n = data.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    ext = data.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((11,), pad_val, jnp.int32)])
+    p27 = (
+        extp[: n + 9] * (_EXT_BASE * _EXT_BASE)
+        + extp[1 : n + 10] * _EXT_BASE
+        + extp[2 : n + 11]
+    )
+
+    def key(j):
+        return lax.slice(p27, (3 * j,), (3 * j + n,))
+
+    k0_s, k1_s, k2_s, k3_s, sorted_idx, prev_s = lax.sort(
+        (key(0), key(1), key(2), key(3), iota, prev), num_keys=4
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (k0_s[1:] != k0_s[:-1])
+            | (k1_s[1:] != k1_s[:-1])
+            | (k2_s[1:] != k2_s[:-1])
+            | (k3_s[1:] != k3_s[:-1]),
+        ]
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32))
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+
+
+def _round_full_sorted(si, rs, prev, k, sentinel: str):
+    """Full round taking the PREVIOUS round's sorted-order state: performs
+    the deferred rank inversion at its top, then the 4-key sort carrying
+    (iota, prev) payloads.  Lets the caller skip the final inversion + the
+    separate emission sort entirely when the input resolves inside the
+    full-round loop (the common case for text: ~210ms of the 768ms total
+    at 2^25)."""
+    n = si.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    rank = _invert_permutation(si, rs)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    padded = jnp.concatenate([rank, jnp.full((n,), off_end, jnp.int32)])
+
+    def shifted(j):
+        sl = lax.dynamic_slice(padded, (jnp.minimum(j * k, n),), (n,))
+        return jnp.where(iota + j * k < n, sl, off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    r0_s, r1_s, r2_s, r3_s, sorted_idx, prev_s = lax.sort(
+        (rank, r1, r2, r3, iota, prev), num_keys=4
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (r0_s[1:] != r0_s[:-1])
+            | (r1_s[1:] != r1_s[:-1])
+            | (r2_s[1:] != r2_s[:-1])
+            | (r3_s[1:] != r3_s[:-1]),
+        ]
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32))
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Forward BWT with deferred inversions: returns (L, base) only.
+
+    Structure: bootstrap (context 12, no inversion) -> full rounds whose
+    rank inversion happens at the TOP of the next round, with the
+    previous-byte payload riding along every sort.  When the text resolves
+    within the full-round loop (nactive == 0), L is the carried payload and
+    base = argmax(sorted_idx == 0) — no final inversion, no emission sort.
+    Otherwise falls back to the narrowed stages + one emission sort."""
+    n = data.shape[0]
+    if n <= 1:
+        return data, jnp.int32(0)
+    cap1, cap2 = _narrow_caps(n)
+    prev = jnp.roll(data, 1)
+
+    si, rs, ac, na, prev_s = _bootstrap_sorted(data, prev, sentinel)
+
+    def full_cond(state):
+        k, si, rs, ac, na, prev_s = state
+        return (na * 16 > n) & (na > 0) & (k < n)
+
+    def full_body(state):
+        k, si, rs, ac, na, prev_s = state
+        si, rs, ac, na, prev_s = _round_full_sorted(si, rs, prev, k, sentinel)
+        return k * 4, si, rs, ac, na, prev_s
+
+    k, si, rs, ac, na, prev_s = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s)
+    )
+
+    def emit_direct(args):
+        k, si, rs, ac, na, prev_s = args
+        base = jnp.argmax(si == 0).astype(jnp.int32)
+        return prev_s, base
+
+    def emit_narrowed(args):
+        k, si, rs, ac, na, prev_s = args
+        rank = _invert_permutation(si, rs)
+        apos, ar0 = _compact_from_round(si, rs, ac, cap1)
+
+        def cond1(state):
+            k, rank, apos, ar0, na = state
+            return (na * 256 > n) & (na > 0) & (k < n)
+
+        def body1(state):
+            k, rank, apos, ar0, _ = state
+            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
+            return k * 4, rank, apos, ar0, na
+
+        k, rank, apos, ar0, na = lax.while_loop(
+            cond1, body1, (k, rank, apos, ar0, na)
+        )
+
+        def stage2(args):
+            k, rank, na, apos1, ar01 = args
+            keyc = jnp.where(apos1 >= 0, jnp.int32(0), jnp.int32(1))
+            _, aposc, ar0c = lax.sort((keyc, apos1, ar01), num_keys=1)
+            keep = lax.iota(jnp.int32, cap2) < na
+            apos = jnp.where(keep, aposc[:cap2], jnp.int32(-1))
+            ar0 = jnp.where(keep, ar0c[:cap2], _BIG)
+
+            def cond2(state):
+                k, rank, apos, ar0, na = state
+                return (na > 0) & (k < n)
+
+            def body2(state):
+                k, rank, apos, ar0, _ = state
+                rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
+                return k * 4, rank, apos, ar0, na
+
+            k, rank, _, _, na = lax.while_loop(cond2, body2, (k, rank, apos, ar0, na))
+            return k, rank, na
+
+        k, rank, na = lax.cond(
+            (na > 0) & (k < n),
+            stage2,
+            lambda a: (a[0], a[1], a[2]),
+            (k, rank, na, apos, ar0),
+        )
+        _, L = lax.sort((rank, prev), num_keys=1)
+        return L, rank[0]
+
+    return lax.cond(na == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na, prev_s))
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_forward_v2(data: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Forward BWT via the v2 sorter with sort-based emission.
+
+    L[rank[p]] = data[(p-1) mod n] realized as one 1-key sort with a u8
+    payload (118ms vs a 262ms random scatter at 2^25).  Returns
+    (L, base, rank)."""
+    n = data.shape[0]
+    rank = suffix_ranks_v2(data, sentinel)
+    prev = jnp.roll(data, 1)
+    _, L = lax.sort((rank, prev), num_keys=1)
+    base = rank[0]
+    return L, base, rank
+
+
+def suffix_array_fast2(data, sentinel: str = SENT_SMALL):
+    """Host convenience wrapper (numpy in/out)."""
+    arr = (
+        jnp.asarray(np.frombuffer(bytes(data), np.uint8))
+        if not isinstance(data, (jnp.ndarray, np.ndarray))
+        else jnp.asarray(data, dtype=jnp.uint8)
+    )
+    return np.asarray(suffix_array_v2(arr, sentinel))

@@ -21,21 +21,24 @@ def main():
     size = int(os.environ.get("BENCH_SIZE", 1 << 26))  # 64 MiB default
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
-    impl = os.environ.get("BENCH_IMPL", "fast")  # fast (narrowed) | plain
+    impl = os.environ.get("BENCH_IMPL", "v3")  # v3 (tuned) | v2 | fast | plain
 
     import jax
     import jax.numpy as jnp
 
     from archon_tpu.core.bwt import bwt_forward, bwt_forward_fast
+    from archon_tpu.core.fast2 import bwt_forward_v2, bwt_v3
     from archon_tpu.utils.corpus import load_or_synthesize
 
     name, data = load_or_synthesize(size)
     arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
-    fwd = bwt_forward_fast if impl == "fast" else bwt_forward
+    fwd = {"v3": bwt_v3, "v2": bwt_forward_v2,
+           "fast": bwt_forward_fast, "plain": bwt_forward}[impl]
 
     @jax.jit
     def step(x):
-        L, base, _ = fwd(x, "small")
+        out = fwd(x, "small")
+        L, base = out[0], out[1]
         # tiny reduction so a scalar fetch forces the full computation
         # (block_until_ready is unreliable over the axon relay)
         return L, base, L.astype(jnp.int32).sum() + base

@@ -1,0 +1,62 @@
+"""v2 measurement-tuned sorter vs golden model and v1."""
+
+import numpy as np
+import pytest
+
+from archon_tpu.core.fast2 import bwt_forward_v2, suffix_array_fast2
+from archon_tpu.golden import sa as golden
+from archon_tpu.utils.corpus import gauntlet_cases, text_like
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_v2_matches_golden(sentinel):
+    rng = np.random.default_rng(42)
+    cases = [
+        b"banana", b"mississippi", b"ab", b"ba", b"aaa",
+        b"a" * 50 + b"b" + b"a" * 50,
+        bytes(200),  # all zero
+        text_like(5000, 1),
+    ]
+    for n in (256, 1333, 8192):
+        for _ in range(3):
+            alpha = int(rng.integers(2, 200))
+            cases.append(bytes(rng.integers(0, alpha, n, dtype=np.uint8)))
+    cases += list(gauntlet_cases(997).values())
+    for data in cases:
+        arr = np.frombuffer(data, np.uint8)
+        want = golden.suffix_array(arr, sentinel)
+        got = suffix_array_fast2(arr, sentinel)
+        assert got.tolist() == want.tolist(), f"{sentinel} n={len(data)} {data[:30]!r}"
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_v2_bwt_matches_golden(sentinel):
+    import jax.numpy as jnp
+
+    for data in (text_like(4096, 9), b"abracadabra" * 100, bytes(64)):
+        arr = np.frombuffer(bytes(data), np.uint8)
+        L, base, rank = bwt_forward_v2(jnp.asarray(arr), sentinel)
+        want_L, want_base = golden.bwt_forward(arr, sentinel)
+        assert np.asarray(L).tolist() == want_L.tolist()
+        assert int(base) == int(want_base)
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_v3_bwt_matches_golden(sentinel):
+    import jax.numpy as jnp
+    from archon_tpu.core.fast2 import bwt_v3
+
+    rng = np.random.default_rng(7)
+    cases = [
+        b"", b"a", b"ab", b"banana", b"mississippi" * 40,
+        bytes(128),                      # resolves instantly
+        text_like(3000, 2),              # resolves in full rounds
+        bytes(rng.integers(0, 4, 5000, dtype=np.uint8)),  # narrowed path
+    ]
+    cases += list(gauntlet_cases(701).values())
+    for data in cases:
+        arr = np.frombuffer(bytes(data), np.uint8)
+        L, base = bwt_v3(jnp.asarray(arr), sentinel)
+        want_L, want_base = golden.bwt_forward(arr, sentinel)
+        assert np.asarray(L).tolist() == want_L.tolist(), f"{sentinel} n={len(data)}"
+        assert int(base) == int(want_base), f"{sentinel} n={len(data)}"
