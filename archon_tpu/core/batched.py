@@ -248,6 +248,155 @@ def suffix_ranks_batched(data2: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.
     return rank
 
 
+def _bootstrap_sorted2(data2: jnp.ndarray, prev2: jnp.ndarray, sentinel: str):
+    """Per-row context-12 bootstrap (4 packed-trigram keys, one sort), no
+    rank inversion — the 2D port of fast2._bootstrap_sorted."""
+    B, n = data2.shape
+    iota2 = _row_iota(B, n)
+    ext = data2.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((B, 11), pad_val, jnp.int32)], axis=1)
+    p27 = (
+        extp[:, : n + 9] * (_EXT_BASE * _EXT_BASE)
+        + extp[:, 1 : n + 10] * _EXT_BASE
+        + extp[:, 2 : n + 11]
+    )
+
+    def key(j):
+        return lax.slice_in_dim(p27, 3 * j, 3 * j + n, axis=1)
+
+    k0_s, k1_s, k2_s, k3_s, sorted_idx, prev_s = lax.sort(
+        (key(0), key(1), key(2), key(3), iota2, prev2), num_keys=4, dimension=1
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((B, 1), jnp.bool_),
+            (k0_s[:, 1:] != k0_s[:, :-1])
+            | (k1_s[:, 1:] != k1_s[:, :-1])
+            | (k2_s[:, 1:] != k2_s[:, :-1])
+            | (k3_s[:, 1:] != k3_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota2, 0), axis=1)
+    nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1)
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32), axis=1)
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+
+
+def _round_full_sorted2(si, rs, prev2, k, sentinel: str):
+    """2D full round with the deferred inversion at its top (fast2 port)."""
+    B, n = si.shape
+    iota2 = _row_iota(B, n)
+    rank = _invert_rows(si, rs)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    padded = jnp.concatenate([rank, jnp.full((B, n), off_end, jnp.int32)], axis=1)
+    r1 = _shifted2(padded, iota2, n, k, off_end)
+    r2 = _shifted2(padded, iota2, n, 2 * k, off_end)
+    r3 = _shifted2(padded, iota2, n, 3 * k, off_end)
+    r0_s, r1_s, r2_s, r3_s, sorted_idx, prev_s = lax.sort(
+        (rank, r1, r2, r3, iota2, prev2), num_keys=4, dimension=1
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((B, 1), jnp.bool_),
+            (r0_s[:, 1:] != r0_s[:, :-1])
+            | (r1_s[:, 1:] != r1_s[:, :-1])
+            | (r2_s[:, 1:] != r2_s[:, :-1])
+            | (r3_s[:, 1:] != r3_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota2, 0), axis=1)
+    nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1)
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32), axis=1)
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Block-parallel forward BWT, v3 structure: returns (L2, base2).
+
+    Full rounds carry the previous-byte payload and defer rank inversion;
+    when every block resolves inside the full-round loop (the common case
+    for text) L2 is the carried payload directly — no inversions, no
+    emission sorts.  Otherwise falls back to rank-space narrowing across
+    the whole batch."""
+    B, n = data2.shape
+    if n <= 1:
+        return data2, jnp.zeros((B,), jnp.int32)
+    prev2 = jnp.roll(data2, 1, axis=1)
+    si, rs, ac, na, prev_s = _bootstrap_sorted2(data2, prev2, sentinel)
+
+    def full_cond(state):
+        k, si, rs, ac, na, prev_s = state
+        return (jnp.max(na) * 16 > n) & (jnp.max(na) > 0) & (k < n)
+
+    def full_body(state):
+        k, si, rs, ac, na, prev_s = state
+        si, rs, ac, na, prev_s = _round_full_sorted2(si, rs, prev2, k, sentinel)
+        return k * 4, si, rs, ac, na, prev_s
+
+    k, si, rs, ac, na, prev_s = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s)
+    )
+
+    def emit_direct(args):
+        k, si, rs, ac, na = args
+        base = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
+        return prev_s, base
+
+    def emit_narrowed(args):
+        k, si, rs, ac, na = args
+        rank = _invert_rows(si, rs)
+
+        cap1 = max(min(n, 4096), n // 16)
+        cap2 = max(min(n, 4096), n // 256)
+        apos = _compact2(rank, cap1)
+
+        def cond1(state):
+            k, rank, apos, na = state
+            return (jnp.max(na) * 256 > n) & (jnp.max(na) > 0) & (k < n)
+
+        def body1(state):
+            k, rank, apos, _ = state
+            rank, apos, na = _round_active2(rank, apos, k, sentinel)
+            return k * 4, rank, apos, na
+
+        k, rank, apos, na = lax.while_loop(cond1, body1, (k, rank, apos, na))
+
+        def stage2(args):
+            k, rank, na = args
+            apos = _compact2(rank, cap2)
+
+            def cond2(state):
+                k, rank, apos, na = state
+                return (jnp.max(na) > 0) & (k < n)
+
+            def body2(state):
+                k, rank, apos, _ = state
+                rank, apos, na = _round_active2(rank, apos, k, sentinel)
+                return k * 4, rank, apos, na
+
+            k, rank, _, na = lax.while_loop(cond2, body2, (k, rank, apos, na))
+            return k, rank, na
+
+        k, rank, na = lax.cond(
+            (jnp.max(na) > 0) & (k < n),
+            stage2,
+            lambda a: a,
+            (k, rank, na),
+        )
+        _, L = lax.sort((rank, prev2), num_keys=1, dimension=1)
+        return L, rank[:, 0]
+
+    return lax.cond(
+        jnp.max(na) == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na)
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def bwt_forward_batched(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
     """Block-parallel forward BWT: (B, n) uint8 -> (L2, base2, rank2).

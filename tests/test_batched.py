@@ -62,3 +62,29 @@ def test_batched_single_row_matches_fast():
     got = suffix_arrays_batched(data[None, :], "small")[0]
     want = suffix_array_fast(data, "small")
     assert got.tolist() == want.tolist()
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+@pytest.mark.parametrize("n", [128, 700])
+def test_batched_v3_matches_golden(sentinel, n):
+    from archon_tpu.core.batched import bwt_batched_v3
+
+    mat = _block_matrix(n, seed=13)
+    L2, base2 = bwt_batched_v3(mat, sentinel)
+    L2, base2 = np.asarray(L2), np.asarray(base2)
+    for b in range(mat.shape[0]):
+        want_L, want_base = golden.bwt_forward(mat[b], sentinel)
+        assert L2[b].tolist() == want_L.tolist(), f"row {b} n={n}"
+        assert int(base2[b]) == int(want_base), f"row {b} n={n}"
+
+
+def test_batched_v3_text_blocks():
+    from archon_tpu.core.batched import bwt_batched_v3
+
+    rows = np.stack([np.frombuffer(text_like(2048, s), np.uint8) for s in range(6)])
+    L2, base2 = bwt_batched_v3(rows, "small")
+    L2, base2 = np.asarray(L2), np.asarray(base2)
+    for b in range(rows.shape[0]):
+        want_L, want_base = golden.bwt_forward(rows[b], "small")
+        assert L2[b].tolist() == want_L.tolist()
+        assert int(base2[b]) == int(want_base)
