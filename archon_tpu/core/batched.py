@@ -355,6 +355,7 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
         cap1 = max(min(n, 4096), n // 16)
         cap2 = max(min(n, 4096), n // 256)
         apos = _compact2(rank, cap1)
+        apos0 = apos  # entry actives: only these rows' slots can move
 
         def cond1(state):
             k, rank, apos, na = state
@@ -389,7 +390,14 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
             lambda a: a,
             (k, rank, na),
         )
-        _, L = lax.sort((rank, prev2), num_keys=1, dimension=1)
+        # scatter-correct only the entry actives per row (resolved suffixes'
+        # ranks never moved); see fast2.bwt_v3 for the cost analysis
+        C1 = apos0.shape[1]
+        safe0 = jnp.where(apos0 >= 0, apos0, 0)
+        final_r = jnp.where(apos0 >= 0, _take_rows(rank, safe0), jnp.int32(n))
+        corr = _take_rows(prev2, safe0)
+        rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, C1))
+        L = prev_s.at[rows, final_r].set(corr, mode="drop")
         return L, rank[:, 0]
 
     return lax.cond(
