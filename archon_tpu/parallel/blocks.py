@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.bwt import bwt_forward
+from ..core.batched import bwt_batched_v3
 from ..core.unbwt import bwt_inverse
 from ..core.doubling import SENT_SMALL
 
@@ -32,8 +32,10 @@ def make_mesh(axes: dict[str, int] | None = None, devices=None) -> Mesh:
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def _bwt_blocks(blocks: jnp.ndarray, sentinel: str):
-    L, base, _sa = jax.vmap(lambda b: bwt_forward(b, sentinel))(blocks)
-    return L, base
+    # hand-batched v3 (lockstep scalar k): row-wise ops partition cleanly
+    # along the dp-sharded block axis under SPMD, and beat a vmap of the 1D
+    # path (which would lift the shared dynamic-slice shifts into gathers)
+    return bwt_batched_v3(blocks, sentinel)
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))
