@@ -184,12 +184,79 @@ def _round_active_c(rank, apos, ar0, k, sentinel: str):
 def _narrow_caps(n: int):
     cap1 = max(min(n, 4096), n // 16)
     cap2 = max(min(n, 4096), n // 256)
-    return cap1, cap2
+    cap3 = min(n, 4096)
+    return cap1, cap2, cap3
+
+
+def _recompact(apos, ar0, na, cap_to: int):
+    """Re-compact an active set to a smaller capacity (C-width sort)."""
+    keyc = jnp.where(apos >= 0, jnp.int32(0), jnp.int32(1))
+    _, aposc, ar0c = lax.sort((keyc, apos, ar0), num_keys=1)
+    keep = lax.iota(jnp.int32, cap_to) < na
+    return (
+        jnp.where(keep, aposc[:cap_to], jnp.int32(-1)),
+        jnp.where(keep, ar0c[:cap_to], _BIG),
+    )
+
+
+def _narrow_cascade(rank, k, na, apos, ar0, sentinel: str, caps):
+    """Run narrowed rounds at progressively smaller static capacities.
+
+    caps = (cap1, cap2, cap3, ...): rounds run at cap_i while the active
+    count exceeds cap_{i+1} (to completion at the last), re-compacting
+    between stages.  Tiny residues (e.g. 12 stragglers at 2^26) thus pay
+    ~4096-wide rounds, not n/256-wide ones."""
+    n = rank.shape[0]
+
+    def stage(carry, cap: int, next_cap: int | None):
+        k, rank, apos, ar0, na = carry
+
+        def cond(state):
+            k, rank, apos, ar0, na = state
+            more = (na > next_cap) if next_cap is not None else (na > 0)
+            return more & (na > 0) & (k < n)
+
+        def body(state):
+            k, rank, apos, ar0, _ = state
+            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
+            return k * 4, rank, apos, ar0, na
+
+        return lax.while_loop(cond, body, (k, rank, apos, ar0, na))
+
+    carry = (k, rank, apos, ar0, na)
+    for i, cap in enumerate(caps):
+        next_cap = caps[i + 1] if i + 1 < len(caps) else None
+        if i > 0:
+            def shrink(c, cap=cap):
+                k, rank, apos, ar0, na = c
+                apos, ar0 = _recompact(apos, ar0, na, cap)
+                return k, rank, apos, ar0, na
+
+            def keep(c, cap=cap):
+                k, rank, apos, ar0, na = c
+                return (
+                    k,
+                    rank,
+                    jnp.full((cap,), jnp.int32(-1)),
+                    jnp.full((cap,), _BIG),
+                    na,
+                )
+
+            k0, rank0, apos0_, ar00, na0 = carry
+            carry = lax.cond(na0 > 0, shrink, keep, carry)
+        carry = lax.cond(
+            (carry[4] > 0) & (carry[0] < n),
+            lambda c, cap=cap, nc=next_cap: stage(c, cap, nc),
+            lambda c: c,
+            carry,
+        )
+    k, rank, _, _, na = carry
+    return k, rank, na
 
 
 def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
     n = data.shape[0]
-    cap1, cap2 = _narrow_caps(n)
+    cap1, cap2, cap3 = _narrow_caps(n)
 
     # --- bootstrap: context 12 in one 4-key sort (no separate init)
     rank, nactive, si, rs, ac = _bootstrap_round(data, sentinel)
@@ -208,65 +275,20 @@ def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
         full_cond, full_body, (jnp.int32(12), rank, nactive, si, rs, ac)
     )
 
-    # --- narrowed stage 1 at cap n/16 (reuses the last round's order)
-    def stage1(args):
+    # --- narrowed cascade (compaction reuses the last round's order)
+    def narrowed(args):
         k, rank, na, si, rs, ac = args
         apos, ar0 = _compact_from_round(si, rs, ac, cap1)
-
-        def cond(state):
-            k, rank, apos, ar0, na = state
-            return (na * 256 > n) & (na > 0) & (k < n)
-
-        def body(state):
-            k, rank, apos, ar0, _ = state
-            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
-            return k * 4, rank, apos, ar0, na
-
-        k, rank, apos, ar0, na = lax.while_loop(
-            cond, body, (k, rank, apos, ar0, na)
+        k, rank, na = _narrow_cascade(
+            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
         )
-        return k, rank, na, apos, ar0
-
-    def skip1(args):
-        k, rank, na, _si, _rs, _ac = args
-        return (
-            k,
-            rank,
-            na,
-            jnp.full((cap1,), jnp.int32(-1)),
-            jnp.full((cap1,), _BIG),
-        )
-
-    k, rank, nactive, apos1, ar01 = lax.cond(
-        (nactive > 0) & (k < n), stage1, skip1, (k, rank, nactive, si, rs, ac)
-    )
-
-    # --- narrowed stage 2 at cap n/256 (compacts from stage 1's capacity)
-    def stage2(args):
-        k, rank, na, apos1, ar01 = args
-        keyc = jnp.where(apos1 >= 0, jnp.int32(0), jnp.int32(1))
-        _, aposc, ar0c = lax.sort((keyc, apos1, ar01), num_keys=1)
-        keep = lax.iota(jnp.int32, cap2) < na
-        apos = jnp.where(keep, aposc[:cap2], jnp.int32(-1))
-        ar0 = jnp.where(keep, ar0c[:cap2], _BIG)
-
-        def cond(state):
-            k, rank, apos, ar0, na = state
-            return (na > 0) & (k < n)
-
-        def body(state):
-            k, rank, apos, ar0, _ = state
-            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
-            return k * 4, rank, apos, ar0, na
-
-        k, rank, _, _, na = lax.while_loop(cond, body, (k, rank, apos, ar0, na))
         return k, rank, na
 
     k, rank, nactive = lax.cond(
         (nactive > 0) & (k < n),
-        stage2,
+        narrowed,
         lambda a: (a[0], a[1], a[2]),
-        (k, rank, nactive, apos1, ar01),
+        (k, rank, nactive, si, rs, ac),
     )
     return rank
 
@@ -375,7 +397,7 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
     n = data.shape[0]
     if n <= 1:
         return data, jnp.int32(0)
-    cap1, cap2 = _narrow_caps(n)
+    cap1, cap2, cap3 = _narrow_caps(n)
     prev = jnp.roll(data, 1)
 
     si, rs, ac, na, prev_s = _bootstrap_sorted(data, prev, sentinel)
@@ -400,58 +422,32 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
 
     def emit_narrowed(args):
         k, si, rs, ac, na, prev_s = args
+        na0 = na
         rank = _invert_permutation(si, rs)
         apos, ar0 = _compact_from_round(si, rs, ac, cap1)
         apos0 = apos  # entry actives: the only positions whose rank can move
 
-        def cond1(state):
-            k, rank, apos, ar0, na = state
-            return (na * 256 > n) & (na > 0) & (k < n)
-
-        def body1(state):
-            k, rank, apos, ar0, _ = state
-            rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
-            return k * 4, rank, apos, ar0, na
-
-        k, rank, apos, ar0, na = lax.while_loop(
-            cond1, body1, (k, rank, apos, ar0, na)
+        k, rank, na = _narrow_cascade(
+            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
         )
 
-        def stage2(args):
-            k, rank, na, apos1, ar01 = args
-            keyc = jnp.where(apos1 >= 0, jnp.int32(0), jnp.int32(1))
-            _, aposc, ar0c = lax.sort((keyc, apos1, ar01), num_keys=1)
-            keep = lax.iota(jnp.int32, cap2) < na
-            apos = jnp.where(keep, aposc[:cap2], jnp.int32(-1))
-            ar0 = jnp.where(keep, ar0c[:cap2], _BIG)
-
-            def cond2(state):
-                k, rank, apos, ar0, na = state
-                return (na > 0) & (k < n)
-
-            def body2(state):
-                k, rank, apos, ar0, _ = state
-                rank, apos, ar0, na = _round_active_c(rank, apos, ar0, k, sentinel)
-                return k * 4, rank, apos, ar0, na
-
-            k, rank, _, _, na = lax.while_loop(cond2, body2, (k, rank, apos, ar0, na))
-            return k, rank, na
-
-        k, rank, na = lax.cond(
-            (na > 0) & (k < n),
-            stage2,
-            lambda a: (a[0], a[1], a[2]),
-            (k, rank, na, apos, ar0),
-        )
         # Resolved suffixes' ranks never moved (positional-rank invariant),
         # so the carried payload prev_s is already correct everywhere except
-        # the <= cap1 entry actives: scatter-correct just those slots
-        # (2 gathers + 1 narrow scatter ~= 155ms vs a 250ms full-width
-        # emission sort at 2^26).
-        safe0 = jnp.where(apos0 >= 0, apos0, 0)
-        final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
-        corr = prev[safe0]
-        L = prev_s.at[final_r].set(corr, mode="drop")
+        # the entry actives: scatter-correct just those slots.  The gather/
+        # scatter width adapts to the actual entry-active count (a tiny
+        # residue — e.g. 12 stragglers at 2^26 — must not pay n/16-wide
+        # corrections; apos0 is front-compacted so its prefix suffices).
+        def correct(width):
+            def f(L):
+                ap = apos0[:width]
+                safe0 = jnp.where(ap >= 0, ap, 0)
+                final_r = jnp.where(ap >= 0, rank[safe0], jnp.int32(n))
+                corr = prev[safe0]
+                return L.at[final_r].set(corr, mode="drop")
+
+            return f
+
+        L = lax.cond(na0 <= cap3, correct(min(cap3, cap1)), correct(cap1), prev_s)
         return L, rank[0]
 
     return lax.cond(na == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na, prev_s))
