@@ -103,3 +103,35 @@ def route_search(order: int = 3) -> list[int]:
             placed.append(g)
             remaining.discard(g)
     return placed
+
+
+def varadix_orders(data: np.ndarray, rad_pow: int = 16) -> dict[str, int | float]:
+    """Variable-length radix key study (a6/tool/varadix).
+
+    The reference compares two radix-key schemes over the dense alphabet of
+    a file: exact base-``nd`` keys packing as many symbols as fit in the
+    radix budget (presize.c:25-48) vs power-of-2 bit keys using
+    ceil(log2(nd)) bits per symbol (2pow.c:30-41).  Returns, for a
+    ``2**rad_pow`` radix budget: the dense alphabet size, the context order
+    each scheme achieves, and the bucket-utilization ratio of the pow-2
+    scheme (exact keys always use the budget fully).
+    """
+    counts = np.bincount(np.asarray(data, np.uint8).ravel(), minlength=256)
+    nd = int((counts > 0).sum())
+    if nd <= 1:
+        return {"symbols": nd, "exact_order": 0, "pow2_order": 0, "pow2_utilization": 0.0}
+    max_rad = 1 << rad_pow
+    ord_exact = 0
+    v = 1
+    while v * nd <= max_rad:
+        v *= nd
+        ord_exact += 1
+    bits = int(np.ceil(np.log2(nd)))
+    ord_pow2 = rad_pow // bits
+    util = (nd ** ord_pow2) / float(1 << (bits * ord_pow2)) if ord_pow2 else 0.0
+    return {
+        "symbols": nd,
+        "exact_order": ord_exact,
+        "pow2_order": ord_pow2,
+        "pow2_utilization": util,
+    }

@@ -47,3 +47,24 @@ def test_tools_run():
     assert 0 < vol["it2"] <= vol["it1"] <= 1
     plan = tools.route_search(3)
     assert sorted(plan) == list(range(8))
+
+
+def test_varadix_orders():
+    import numpy as np
+    from archon_tpu.utils.tools import varadix_orders
+
+    # 4-symbol alphabet, 16-bit budget: exact base-4 packs 8 symbols
+    data = np.frombuffer((b"acgt" * 100), np.uint8)
+    r = varadix_orders(data, 16)
+    assert r["symbols"] == 4
+    assert r["exact_order"] == 8
+    assert r["pow2_order"] == 8
+    assert r["pow2_utilization"] == 1.0
+
+    # 5-symbol alphabet: exact base-5 beats 3-bit pow2 keys
+    data5 = np.frombuffer((b"acgtn" * 100), np.uint8)
+    r5 = varadix_orders(data5, 16)
+    assert r5["symbols"] == 5
+    assert r5["exact_order"] == 6   # 5^6 = 15625 <= 65536
+    assert r5["pow2_order"] == 5    # 16 // 3
+    assert 0 < r5["pow2_utilization"] < 1
