@@ -135,3 +135,38 @@ def varadix_orders(data: np.ndarray, rad_pow: int = 16) -> dict[str, int | float
         "pow2_order": ord_pow2,
         "pow2_utilization": util,
     }
+
+
+def memory_report(n: int, impl: str = "v3") -> dict[str, float]:
+    """Working-set accounting per input byte — the parity of the reference's
+    memory reporters (a6 ``bwt_memory`` bwt.c:225-230, a7 ``countMemory``
+    archon.cpp:855-857; design budget 5N, README.md:15).
+
+    The v3 doubling round holds: data+prev (2×u8), the 6-operand sort's
+    inputs and outputs (rank + 3 shifted ranks + iota + prev_s, i32×5+u8),
+    head/cummax temporaries (~2×i32, fused by XLA), and the deferred
+    inversion pair (2×i32).  XLA reuses buffers across rounds, so the
+    peak is one round's live set."""
+    if impl == "v3":
+        i32 = 4
+        live = {
+            "input+prev_bytes": 2,
+            "sort_operands": 5 * i32 + 1,
+            "sort_outputs": 5 * i32 + 1,
+            "head/rank_temps": 2 * i32,
+            "inversion_pair": 2 * i32,
+        }
+    elif impl == "doubling":
+        i32 = 4
+        live = {
+            "input_bytes": 1,
+            "rank+shifts": 4 * i32,
+            "sort_outputs": 5 * i32,
+            "temps": 2 * i32,
+        }
+    else:
+        raise ValueError(impl)
+    total = sum(live.values())
+    return {**{k: float(v) for k, v in live.items()},
+            "bytes_per_input_byte": float(total),
+            "total_bytes": float(total) * n}

@@ -60,3 +60,20 @@ def test_v3_bwt_matches_golden(sentinel):
         want_L, want_base = golden.bwt_forward(arr, sentinel)
         assert np.asarray(L).tolist() == want_L.tolist(), f"{sentinel} n={len(data)}"
         assert int(base) == int(want_base), f"{sentinel} n={len(data)}"
+
+
+def test_v3_large_cascade_paths():
+    """n > 2^20 gives three DISTINCT narrowing capacities (n/16, n/256,
+    4096); heavy repetition keeps actives alive deep into the cascade."""
+    import jax.numpy as jnp
+    from archon_tpu.core.fast2 import bwt_v3
+
+    n = (1 << 20) + (1 << 19)  # 1.5 Mi: caps 98304 / 6144 / 4096
+    rng = np.random.default_rng(3)
+    period = rng.integers(0, 4, 8192, dtype=np.uint8).tobytes()
+    data = (period * (n // len(period) + 1))[:n]  # exact long periodicity
+    arr = np.frombuffer(data, np.uint8)
+    L, base = bwt_v3(jnp.asarray(arr), "small")
+    want_L, want_base = golden.bwt_forward(arr, "small")
+    assert np.asarray(L).tolist() == want_L.tolist()
+    assert int(base) == int(want_base)

@@ -68,3 +68,14 @@ def test_varadix_orders():
     assert r5["exact_order"] == 6   # 5^6 = 15625 <= 65536
     assert r5["pow2_order"] == 5    # 16 // 3
     assert 0 < r5["pow2_utilization"] < 1
+
+
+def test_memory_report():
+    from archon_tpu.utils.tools import memory_report
+
+    r = memory_report(1 << 20)
+    assert r["total_bytes"] == r["bytes_per_input_byte"] * (1 << 20)
+    # doubling-family working set is O(N) with a modest constant (the
+    # reference's 5N budget becomes ~50N of i32 sort operands on TPU —
+    # reported, as the reference reports its own)
+    assert 20 <= r["bytes_per_input_byte"] <= 100
