@@ -315,6 +315,142 @@ def _round_full_sorted2(si, rs, prev2, k, sentinel: str):
     return sorted_idx, ranks_sorted, active_s, nactive, prev_s
 
 
+_BIG = jnp.int32(0x7FFFFFFF)
+
+
+def _compact_from_round2(si, rs, active_s, cap: int):
+    """Per-row active (position, rank) pairs from a round's own sorted
+    order — one batched sort (the 2D analog of fast2._compact_from_round)."""
+    B, n = si.shape
+    key = jnp.where(active_s, jnp.int32(0), jnp.int32(1))
+    _, apos, ar0 = lax.sort((key, si, rs), num_keys=1, dimension=1)
+    nact = jnp.sum(active_s.astype(jnp.int32), axis=1, keepdims=True)
+    keep = _row_iota(B, cap) < nact
+    return (
+        jnp.where(keep, apos[:, :cap], jnp.int32(-1)),
+        jnp.where(keep, ar0[:, :cap], _BIG),
+    )
+
+
+def _round_active2c(rank, apos, ar0, k, sentinel: str):
+    """Narrowed quadrupling round per row, carrying r0 (3 gathers/row)."""
+    B, n = rank.shape
+    C = apos.shape[1]
+    iota_c = _row_iota(B, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    valid = apos >= 0
+    safe = jnp.where(valid, apos, 0)
+
+    def shifted(j):
+        p = safe + j * k
+        ok = valid & (p < n)
+        return jnp.where(ok, _take_rows(rank, jnp.minimum(p, n - 1)), off_end)
+
+    r1, r2, r3 = shifted(1), shifted(2), shifted(3)
+    r0 = jnp.where(valid, ar0, _BIG)
+    pos_key = jnp.where(valid, apos, jnp.int32(-1))
+    r0_s, r1_s, r2_s, r3_s, pos_s = lax.sort(
+        (r0, r1, r2, r3, pos_key), num_keys=4, dimension=1
+    )
+
+    ones = jnp.ones((B, 1), jnp.bool_)
+    h0 = jnp.concatenate([ones, r0_s[:, 1:] != r0_s[:, :-1]], axis=1)
+    h4 = h0 | jnp.concatenate(
+        [
+            ones,
+            (r1_s[:, 1:] != r1_s[:, :-1])
+            | (r2_s[:, 1:] != r2_s[:, :-1])
+            | (r3_s[:, 1:] != r3_s[:, :-1]),
+        ],
+        axis=1,
+    )
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0), axis=1)
+    t4 = lax.cummax(jnp.where(h4, iota_c, 0), axis=1)
+    new_rank_s = r0_s + (t4 - t0)
+
+    pad = pos_s < 0
+    nxt_h4 = jnp.concatenate([h4[:, 1:], ones], axis=1)
+    still = jnp.logical_not(h4 & nxt_h4) & jnp.logical_not(pad)
+
+    new_rank_s = jnp.where(pad, jnp.int32(0), new_rank_s)
+    upd_pos = jnp.where(pad, jnp.int32(n), pos_s)
+    rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, C))
+    rank = rank.at[rows, upd_pos].set(new_rank_s, mode="drop")
+
+    key = jnp.where(still, jnp.int32(0), jnp.int32(1))
+    _, new_apos, new_ar0 = lax.sort(
+        (key, jnp.where(still, pos_s, jnp.int32(-1)), new_rank_s),
+        num_keys=1,
+        dimension=1,
+    )
+    nactive = jnp.sum(still.astype(jnp.int32), axis=1)
+    keep = iota_c < nactive[:, None]
+    return (
+        rank,
+        jnp.where(keep, new_apos, jnp.int32(-1)),
+        jnp.where(keep, new_ar0, _BIG),
+        nactive,
+    )
+
+
+def _narrow_cascade2(rank, k, na, apos, ar0, sentinel: str, caps):
+    """2D narrowing cascade at static capacities (fast2._narrow_cascade)."""
+    B, n = rank.shape
+
+    def stage(carry, cap: int, next_cap):
+        k, rank, apos, ar0, na = carry
+
+        def cond(state):
+            k, rank, apos, ar0, na = state
+            m = jnp.max(na)
+            more = (m > next_cap) if next_cap is not None else (m > 0)
+            return more & (m > 0) & (k < n)
+
+        def body(state):
+            k, rank, apos, ar0, _ = state
+            rank, apos, ar0, na = _round_active2c(rank, apos, ar0, k, sentinel)
+            return k * 4, rank, apos, ar0, na
+
+        return lax.while_loop(cond, body, (k, rank, apos, ar0, na))
+
+    carry = (k, rank, apos, ar0, na)
+    for i, cap in enumerate(caps):
+        next_cap = caps[i + 1] if i + 1 < len(caps) else None
+        if i > 0:
+            def shrink(c, cap=cap):
+                k, rank, apos, ar0, na = c
+                keyc = jnp.where(apos >= 0, jnp.int32(0), jnp.int32(1))
+                _, aposc, ar0c = lax.sort((keyc, apos, ar0), num_keys=1, dimension=1)
+                keep = _row_iota(B, cap) < na[:, None]
+                return (
+                    k,
+                    rank,
+                    jnp.where(keep, aposc[:, :cap], jnp.int32(-1)),
+                    jnp.where(keep, ar0c[:, :cap], _BIG),
+                    na,
+                )
+
+            def hold(c, cap=cap):
+                k, rank, apos, ar0, na = c
+                return (
+                    k,
+                    rank,
+                    jnp.full((B, cap), jnp.int32(-1)),
+                    jnp.full((B, cap), _BIG),
+                    na,
+                )
+
+            carry = lax.cond(jnp.max(carry[4]) > 0, shrink, hold, carry)
+        carry = lax.cond(
+            (jnp.max(carry[4]) > 0) & (carry[0] < n),
+            lambda c, cap=cap, nc=next_cap: stage(c, cap, nc),
+            lambda c: c,
+            carry,
+        )
+    k, rank, _, _, na = carry
+    return k, rank, na
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
     """Block-parallel forward BWT, v3 structure: returns (L2, base2).
@@ -354,50 +490,39 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
 
         cap1 = max(min(n, 4096), n // 16)
         cap2 = max(min(n, 4096), n // 256)
-        apos = _compact2(rank, cap1)
+        cap3 = min(n, 4096)
+        apos, ar0 = _compact_from_round2(si, rs, ac, cap1)
         apos0 = apos  # entry actives: only these rows' slots can move
+        na0 = na
 
-        def cond1(state):
-            k, rank, apos, na = state
-            return (jnp.max(na) * 256 > n) & (jnp.max(na) > 0) & (k < n)
-
-        def body1(state):
-            k, rank, apos, _ = state
-            rank, apos, na = _round_active2(rank, apos, k, sentinel)
-            return k * 4, rank, apos, na
-
-        k, rank, apos, na = lax.while_loop(cond1, body1, (k, rank, apos, na))
-
-        def stage2(args):
-            k, rank, na = args
-            apos = _compact2(rank, cap2)
-
-            def cond2(state):
-                k, rank, apos, na = state
-                return (jnp.max(na) > 0) & (k < n)
-
-            def body2(state):
-                k, rank, apos, _ = state
-                rank, apos, na = _round_active2(rank, apos, k, sentinel)
-                return k * 4, rank, apos, na
-
-            k, rank, _, na = lax.while_loop(cond2, body2, (k, rank, apos, na))
-            return k, rank, na
-
-        k, rank, na = lax.cond(
-            (jnp.max(na) > 0) & (k < n),
-            stage2,
-            lambda a: a,
-            (k, rank, na),
+        k, rank, na = _narrow_cascade2(
+            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
         )
+
         # scatter-correct only the entry actives per row (resolved suffixes'
-        # ranks never moved); see fast2.bwt_v3 for the cost analysis
-        C1 = apos0.shape[1]
-        safe0 = jnp.where(apos0 >= 0, apos0, 0)
-        final_r = jnp.where(apos0 >= 0, _take_rows(rank, safe0), jnp.int32(n))
-        corr = _take_rows(prev2, safe0)
-        rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, C1))
-        L = prev_s.at[rows, final_r].set(corr, mode="drop")
+        # ranks never moved); width adapts to the entry-active count — see
+        # fast2.bwt_v3 for the cost analysis
+        def correct(width):
+            def f(L):
+                ap = apos0[:, :width]
+                rows = jnp.broadcast_to(
+                    lax.iota(jnp.int32, B)[:, None], (B, width)
+                )
+                safe0 = jnp.where(ap >= 0, ap, 0)
+                final_r = jnp.where(
+                    ap >= 0, _take_rows(rank, safe0), jnp.int32(n)
+                )
+                corr = _take_rows(prev2, safe0)
+                return L.at[rows, final_r].set(corr, mode="drop")
+
+            return f
+
+        L = lax.cond(
+            jnp.max(na0) <= cap3,
+            correct(min(cap3, cap1)),
+            correct(cap1),
+            prev_s,
+        )
         return L, rank[:, 0]
 
     return lax.cond(
