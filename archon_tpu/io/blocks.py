@@ -100,8 +100,10 @@ def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
     from .. import native
 
     use_native = native.available()
+
+    # parse framing first so blocks can decode in parallel
+    parsed = []  # (idx, L, base)
     pos = 12
-    out = []
     idx = 0
     while pos < len(blob):
         (n,) = struct.unpack("<I", blob[pos : pos + 4])
@@ -110,26 +112,44 @@ def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
         pos += n
         (base,) = struct.unpack("<I", blob[pos : pos + 4])
         pos += 4
-        if n:
-            try:
-                if base >= n:
-                    raise ValueError(f"block {idx}: base {base} out of range")
-                if not strict and use_native and not native.verify_cycle(
-                    L, base, sentinel == SENT_LARGE
-                ):
-                    raise ValueError(f"block {idx}: LF walk is not a single cycle")
-                if use_native:
-                    out.append(native.unbwt(L, base, sentinel == SENT_LARGE).tobytes())
-                else:
-                    rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
-                    out.append(np.asarray(rt).tobytes())
-            except ValueError as e:
-                if strict:
-                    raise
-                if on_error is not None:
-                    on_error(idx, e)
-                out.append(b"\x00" * n)
+        parsed.append((idx, L, base))
         idx += 1
+
+    def decode_one(item):
+        idx, L, base = item
+        n = len(L)
+        if not n:
+            return b""
+        try:
+            if base >= n:
+                raise ValueError(f"block {idx}: base {base} out of range")
+            if not strict and use_native and not native.verify_cycle(
+                L, base, sentinel == SENT_LARGE
+            ):
+                raise ValueError(f"block {idx}: LF walk is not a single cycle")
+            if use_native:
+                return native.unbwt(L, base, sentinel == SENT_LARGE).tobytes()
+            rt = bwt_inverse(jnp.asarray(L), jnp.int32(base), sentinel)
+            return np.asarray(rt).tobytes()
+        except ValueError as e:
+            if strict:
+                raise
+            if on_error is not None:
+                on_error(idx, e)
+            return b"\x00" * n
+
+    if use_native and len(parsed) > 1:
+        # the native LF walk releases the GIL (plain ctypes call), so
+        # independent blocks decode on all cores — the decode-side analog
+        # of the dp-sharded forward pipeline
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        workers = min(len(parsed), os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            out = list(ex.map(decode_one, parsed))
+    else:
+        out = [decode_one(it) for it in parsed]
     return b"".join(out)
 
 
