@@ -77,6 +77,13 @@ def main(argv=None):
         gb.add_argument("outfile")
         gb.add_argument("-g", "--generation", default="a4", choices=["a4", "a7"])
         gb.add_argument("-b", "--block-size", type=lambda s: int(s, 0), default=None)
+        if mode == "e":
+            gb.add_argument(
+                "--resume",
+                action="store_true",
+                help="continue an interrupted encode: keep complete blocks "
+                "already in OUTFILE, truncate any partial frame, encode the rest",
+            )
 
     args = p.parse_args(argv)
 

@@ -248,19 +248,25 @@ def suffix_ranks_batched(data2: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.
     return rank
 
 
+def _trigram_keys2(data2: jnp.ndarray, sentinel: str) -> jnp.ndarray:
+    """Per-row packed-trigram keys (B, n+9) — see fast2._trigram_keys."""
+    B, n = data2.shape
+    ext = data2.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((B, 11), pad_val, jnp.int32)], axis=1)
+    return (
+        extp[:, : n + 9] * (_EXT_BASE * _EXT_BASE)
+        + extp[:, 1 : n + 10] * _EXT_BASE
+        + extp[:, 2 : n + 11]
+    )
+
+
 def _bootstrap_sorted2(data2: jnp.ndarray, prev2: jnp.ndarray, sentinel: str):
     """Per-row context-12 bootstrap (4 packed-trigram keys, one sort), no
     rank inversion — the 2D port of fast2._bootstrap_sorted."""
     B, n = data2.shape
     iota2 = _row_iota(B, n)
-    ext = data2.astype(jnp.int32) + 1
-    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
-    extp = jnp.concatenate([ext, jnp.full((B, 11), pad_val, jnp.int32)], axis=1)
-    p27 = (
-        extp[:, : n + 9] * (_EXT_BASE * _EXT_BASE)
-        + extp[:, 1 : n + 10] * _EXT_BASE
-        + extp[:, 2 : n + 11]
-    )
+    p27 = _trigram_keys2(data2, sentinel)
 
     def key(j):
         return lax.slice_in_dim(p27, 3 * j, 3 * j + n, axis=1)
@@ -286,7 +292,9 @@ def _bootstrap_sorted2(data2: jnp.ndarray, prev2: jnp.ndarray, sentinel: str):
 
 
 def _round_full_sorted2(si, rs, prev2, k, sentinel: str):
-    """2D full round with the deferred inversion at its top (fast2 port)."""
+    """2D full round with the deferred inversion at its top (fast2 port).
+    Also returns the context-k/4 rank snapshot it inverted (carried by the
+    caller as the micro tail's consistent coarse key array)."""
     B, n = si.shape
     iota2 = _row_iota(B, n)
     rank = _invert_rows(si, rs)
@@ -312,10 +320,79 @@ def _round_full_sorted2(si, rs, prev2, k, sentinel: str):
     nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1)
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32), axis=1)
-    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s, rank
 
 
 _BIG = jnp.int32(0x7FFFFFFF)
+_TILE = 32
+
+
+def _extract_actives_sorted2(si, rs, ac, na, cap: int):
+    """Per-row entry-active (pos, r0) pairs when every row's na <= cap,
+    without a full-width compaction sort — 2D port of
+    fast2._extract_actives_sorted (32-wide tiles, tile-key sort, tile
+    gather, cap*32-wide compaction)."""
+    B, n = si.shape
+    if n <= cap * _TILE:
+        return _compact_from_round2(si, rs, ac, cap)
+    T = -(-n // _TILE)
+    pad = T * _TILE - n
+    if pad:
+        ac = jnp.concatenate([ac, jnp.zeros((B, pad), jnp.bool_)], axis=1)
+        si = jnp.concatenate([si, jnp.full((B, pad), jnp.int32(-1))], axis=1)
+        rs = jnp.concatenate([rs, jnp.full((B, pad), _BIG)], axis=1)
+    ac3, si3, rs3 = (x.reshape(B, T, _TILE) for x in (ac, si, rs))
+    tkey = jnp.logical_not(jnp.any(ac3, axis=2)).astype(jnp.int32)
+    _, tidx = lax.sort((tkey, _row_iota(B, T)), num_keys=1, dimension=1)
+    tidx = tidx[:, :cap]
+    g_ac = jnp.take_along_axis(ac3, tidx[:, :, None], axis=1).reshape(B, -1)
+    g_si = jnp.take_along_axis(si3, tidx[:, :, None], axis=1).reshape(B, -1)
+    g_rs = jnp.take_along_axis(rs3, tidx[:, :, None], axis=1).reshape(B, -1)
+    key = jnp.where(g_ac, jnp.int32(0), jnp.int32(1))
+    _, apos, ar0 = lax.sort(
+        (key, jnp.where(g_ac, g_si, jnp.int32(-1)), g_rs), num_keys=1, dimension=1
+    )
+    keep = _row_iota(B, cap) < na[:, None]
+    return (
+        jnp.where(keep, apos[:, :cap], jnp.int32(-1)),
+        jnp.where(keep, ar0[:, :cap], _BIG),
+    )
+
+
+def _micro_round2(G, g, pos, r, j_lo: int, j_hi: int, sentinel: str):
+    """Per-row inversion-free narrowed round — 2D port of
+    fast2._micro_round (sort on (r, G[p+j*g] for j in [j_lo, j_hi))
+    against the consistent coarse snapshot G; no compaction)."""
+    B, n = G.shape
+    C = pos.shape[1]
+    iota_c = _row_iota(B, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else _BIG
+    valid = pos >= 0
+    safe = jnp.where(valid, pos, 0)
+    keys = [jnp.where(valid, r, _BIG)]
+    for j in range(j_lo, j_hi):
+        p = safe + j * g
+        ok = valid & (p < n)
+        keys.append(jnp.where(ok, _take_rows(G, jnp.minimum(p, n - 1)), off_end))
+    sorted_ops = lax.sort(
+        tuple(keys) + (jnp.where(valid, pos, jnp.int32(-1)),),
+        num_keys=len(keys),
+        dimension=1,
+    )
+    ks, pos_s = sorted_ops[:-1], sorted_ops[-1]
+    ones = jnp.ones((B, 1), jnp.bool_)
+    h0 = jnp.concatenate([ones, ks[0][:, 1:] != ks[0][:, :-1]], axis=1)
+    rest = jnp.zeros((B, C - 1), jnp.bool_)
+    for kk in ks[1:]:
+        rest = rest | (kk[:, 1:] != kk[:, :-1])
+    hF = h0 | jnp.concatenate([ones, rest], axis=1)
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0), axis=1)
+    tF = lax.cummax(jnp.where(hF, iota_c, 0), axis=1)
+    pad = pos_s < 0
+    r_new = jnp.where(pad, _BIG, ks[0] + (tF - t0))
+    nxt = jnp.concatenate([hF[:, 1:], ones], axis=1)
+    still = jnp.logical_not(hF & nxt) & jnp.logical_not(pad)
+    return pos_s, r_new, jnp.sum(still.astype(jnp.int32), axis=1)
 
 
 def _compact_from_round2(si, rs, active_s, cap: int):
@@ -458,75 +535,132 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
     Full rounds carry the previous-byte payload and defer rank inversion;
     when every block resolves inside the full-round loop (the common case
     for text) L2 is the carried payload directly — no inversions, no
-    emission sorts.  Otherwise falls back to rank-space narrowing across
-    the whole batch."""
+    emission sorts.  Small residues (<= 4096 actives in every block) take
+    the inversion-free micro tail (tile extraction + two static multi-key
+    refinement rounds against the carried coarse rank snapshot — no
+    full-width sorts; see fast2.bwt_v3); only large or >16k-deep residues
+    pay the full-width narrowing cascade."""
     B, n = data2.shape
     if n <= 1:
         return data2, jnp.zeros((B,), jnp.int32)
+    cap1 = max(min(n, 4096), n // 16)
+    cap2 = max(min(n, 4096), n // 256)
+    cap3 = min(n, 4096)
     prev2 = jnp.roll(data2, 1, axis=1)
     si, rs, ac, na, prev_s = _bootstrap_sorted2(data2, prev2, sentinel)
+    G0 = _trigram_keys2(data2, sentinel)[:, :n]
 
     def full_cond(state):
-        k, si, rs, ac, na, prev_s = state
+        k, si, rs, ac, na, prev_s, G = state
         return (jnp.max(na) * 16 > n) & (jnp.max(na) > 0) & (k < n)
 
     def full_body(state):
-        k, si, rs, ac, na, prev_s = state
-        si, rs, ac, na, prev_s = _round_full_sorted2(si, rs, prev2, k, sentinel)
-        return k * 4, si, rs, ac, na, prev_s
+        k, si, rs, ac, na, prev_s, G = state
+        si, rs, ac, na, prev_s, rank = _round_full_sorted2(
+            si, rs, prev2, k, sentinel
+        )
+        return k * 4, si, rs, ac, na, prev_s, rank
 
-    k, si, rs, ac, na, prev_s = lax.while_loop(
-        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s)
+    k, si, rs, ac, na, prev_s, G = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
     )
 
     def emit_direct(args):
-        k, si, rs, ac, na = args
+        k, si, rs, ac, na, prev_s, G = args
         base = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
         return prev_s, base
 
-    def emit_narrowed(args):
-        k, si, rs, ac, na = args
-        rank = _invert_rows(si, rs)
+    def emit_with(pos, r, args):
+        """Scatter-correct the carried payload at the refined actives."""
+        k, si, rs, ac, na, prev_s, G = args
+        W = pos.shape[1]
+        rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, W))
+        valid = pos >= 0
+        safe = jnp.where(valid, pos, 0)
+        tgt = jnp.where(valid, r, jnp.int32(n))
+        L = prev_s.at[rows, tgt].set(_take_rows(prev2, safe), mode="drop")
+        b_slot = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
+        r_pos0 = jnp.take_along_axis(rs, b_slot[:, None], axis=1)[:, 0]
+        base = jnp.maximum(
+            r_pos0,
+            jnp.max(
+                jnp.where(valid & (pos == 0), r, jnp.int32(-1)), axis=1
+            ),
+        )
+        return L, base
 
-        cap1 = max(min(n, 4096), n // 16)
-        cap2 = max(min(n, 4096), n // 256)
-        cap3 = min(n, 4096)
-        apos, ar0 = _compact_from_round2(si, rs, ac, cap1)
-        apos0 = apos  # entry actives: only these rows' slots can move
+    def emit_narrowed(args):
+        k, si, rs, ac, na, prev_s, G = args
         na0 = na
 
-        k, rank, na = _narrow_cascade2(
-            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
+        def run_micro(args):
+            k, si, rs, ac, na, prev_s, G = args
+            apos, ar0 = _extract_actives_sorted2(si, rs, ac, na, cap3)
+            g = k // 4
+            pos1, r1, na1 = _micro_round2(G, g, apos, ar0, 4, 16, sentinel)
+            return lax.cond(
+                jnp.max(na1) > 0,
+                lambda a: _micro_round2(G, g, a[0], a[1], 16, 64, sentinel),
+                lambda a: (a[0], a[1], jnp.zeros((B,), jnp.int32)),
+                (pos1, r1),
+            )
+
+        def skip_micro(args):
+            z = jnp.zeros((B, cap3), jnp.int32)
+            return z - 1, z, jnp.ones((B,), jnp.int32)
+
+        mpos, mr, mna = lax.cond(
+            jnp.max(na0) <= cap3, run_micro, skip_micro, args
         )
 
-        # scatter-correct only the entry actives per row (resolved suffixes'
-        # ranks never moved); width adapts to the entry-active count — see
-        # fast2.bwt_v3 for the cost analysis
-        def correct(width):
-            def f(L):
-                ap = apos0[:, :width]
-                rows = jnp.broadcast_to(
-                    lax.iota(jnp.int32, B)[:, None], (B, width)
-                )
-                safe0 = jnp.where(ap >= 0, ap, 0)
-                final_r = jnp.where(
-                    ap >= 0, _take_rows(rank, safe0), jnp.int32(n)
-                )
-                corr = _take_rows(prev2, safe0)
-                return L.at[rows, final_r].set(corr, mode="drop")
+        def cascade_path(args):
+            k, si, rs, ac, na, prev_s, G = args
+            rank = _invert_rows(si, rs)
+            apos, ar0 = _compact_from_round2(si, rs, ac, cap1)
+            apos0 = apos  # entry actives: only these rows' slots can move
 
-            return f
+            k, rank, na2 = _narrow_cascade2(
+                rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
+            )
 
-        L = lax.cond(
-            jnp.max(na0) <= cap3,
-            correct(min(cap3, cap1)),
-            correct(cap1),
-            prev_s,
+            # scatter-correct only the entry actives per row (resolved
+            # suffixes' ranks never moved); width adapts to the entry-
+            # active count — see fast2.bwt_v3 for the cost analysis
+            def correct(width):
+                def f(L):
+                    ap = apos0[:, :width]
+                    rows = jnp.broadcast_to(
+                        lax.iota(jnp.int32, B)[:, None], (B, width)
+                    )
+                    safe0 = jnp.where(ap >= 0, ap, 0)
+                    final_r = jnp.where(
+                        ap >= 0, _take_rows(rank, safe0), jnp.int32(n)
+                    )
+                    corr = _take_rows(prev2, safe0)
+                    return L.at[rows, final_r].set(corr, mode="drop")
+
+                return f
+
+            L = lax.cond(
+                jnp.max(na0) <= cap3,
+                correct(min(cap3, cap1)),
+                correct(cap1),
+                prev_s,
+            )
+            return L, rank[:, 0]
+
+        return lax.cond(
+            jnp.max(mna) == 0,
+            lambda a: emit_with(mpos, mr, a),
+            cascade_path,
+            args,
         )
-        return L, rank[:, 0]
 
     return lax.cond(
-        jnp.max(na) == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na)
+        jnp.max(na) == 0,
+        emit_direct,
+        emit_narrowed,
+        (k, si, rs, ac, na, prev_s, G),
     )
 
 

@@ -311,19 +311,27 @@ def suffix_array_v2(data: jnp.ndarray, sentinel: str = SENT_SMALL) -> jnp.ndarra
     return _invert_permutation(rank, lax.iota(jnp.int32, n))
 
 
+def _trigram_keys(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
+    """Packed-trigram key per position (length n+9): p27[x] is an order-
+    consistent context-3 comparison key for the suffix at x, in the 9-bit
+    extended-symbol space (byte b -> b+1, off-end pad 0 or 511)."""
+    n = data.shape[0]
+    ext = data.astype(jnp.int32) + 1
+    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
+    extp = jnp.concatenate([ext, jnp.full((11,), pad_val, jnp.int32)])
+    return (
+        extp[: n + 9] * (_EXT_BASE * _EXT_BASE)
+        + extp[1 : n + 10] * _EXT_BASE
+        + extp[2 : n + 11]
+    )
+
+
 def _bootstrap_sorted(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
     """Bootstrap WITHOUT the rank inversion: returns the sorted-order state
     (sorted_idx, ranks_sorted, active flags, nactive, prev_sorted)."""
     n = data.shape[0]
     iota = lax.iota(jnp.int32, n)
-    ext = data.astype(jnp.int32) + 1
-    pad_val = jnp.int32(0 if sentinel == SENT_SMALL else _EXT_BASE - 1)
-    extp = jnp.concatenate([ext, jnp.full((11,), pad_val, jnp.int32)])
-    p27 = (
-        extp[: n + 9] * (_EXT_BASE * _EXT_BASE)
-        + extp[1 : n + 10] * _EXT_BASE
-        + extp[2 : n + 11]
-    )
+    p27 = _trigram_keys(data, sentinel)
 
     def key(j):
         return lax.slice(p27, (3 * j,), (3 * j + n,))
@@ -353,7 +361,11 @@ def _round_full_sorted(si, rs, prev, k, sentinel: str):
     (iota, prev) payloads.  Lets the caller skip the final inversion + the
     separate emission sort entirely when the input resolves inside the
     full-round loop (the common case for text: ~210ms of the 768ms total
-    at 2^25)."""
+    at 2^25).
+
+    Also returns the inverted rank it computed (context k/4, position-
+    indexed): the caller carries it as the consistent coarse snapshot the
+    inversion-free micro tail refines against (see ``_micro_round``)."""
     n = si.shape[0]
     iota = lax.iota(jnp.int32, n)
     rank = _invert_permutation(si, rs)
@@ -381,7 +393,90 @@ def _round_full_sorted(si, rs, prev, k, sentinel: str):
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32))
-    return sorted_idx, ranks_sorted, active_s, nactive, prev_s
+    return sorted_idx, ranks_sorted, active_s, nactive, prev_s, rank
+
+
+_TILE = 32
+
+
+def _extract_actives_sorted(si, rs, ac, na, cap: int):
+    """Entry-active (position, group-head-rank) pairs when ``na <= cap``,
+    WITHOUT a full-width compaction sort.
+
+    Actives are flagged in the round's own sorted order; tie groups are
+    contiguous runs there, so with 32-wide tiles at most ``na`` tiles hold
+    actives (each active tile holds >= 1 active).  Reduce per tile, sort
+    only the n/32 tile keys, gather the first ``cap`` candidate tiles, and
+    compact at cap*32 width — ~25ms at 2^26 vs 210ms for the full sort."""
+    n = si.shape[0]
+    if n <= cap * _TILE:
+        return _compact_from_round(si, rs, ac, cap)
+    T = -(-n // _TILE)
+    pad = T * _TILE - n
+    if pad:
+        ac = jnp.concatenate([ac, jnp.zeros((pad,), jnp.bool_)])
+        si = jnp.concatenate([si, jnp.full((pad,), jnp.int32(-1))])
+        rs = jnp.concatenate([rs, jnp.full((pad,), _BIG)])
+    ac2, si2, rs2 = (x.reshape(T, _TILE) for x in (ac, si, rs))
+    tkey = jnp.logical_not(jnp.any(ac2, axis=1)).astype(jnp.int32)
+    _, tidx = lax.sort((tkey, lax.iota(jnp.int32, T)), num_keys=1)
+    tidx = tidx[:cap]
+    g_ac = ac2[tidx].reshape(-1)
+    g_si = si2[tidx].reshape(-1)
+    g_rs = rs2[tidx].reshape(-1)
+    key = jnp.where(g_ac, jnp.int32(0), jnp.int32(1))
+    _, apos, ar0 = lax.sort(
+        (key, jnp.where(g_ac, g_si, jnp.int32(-1)), g_rs), num_keys=1
+    )
+    keep = lax.iota(jnp.int32, cap) < na
+    return (
+        jnp.where(keep, apos[:cap], jnp.int32(-1)),
+        jnp.where(keep, ar0[:cap], _BIG),
+    )
+
+
+def _micro_round(G, g, pos, r, j_lo: int, j_hi: int, sentinel: str):
+    """Inversion-free narrowed round over C actives.
+
+    Refines current ranks ``r`` (context j_lo*g, group-head convention) to
+    context j_hi*g by sorting on (r, G[p+j_lo*g], G[p+(j_lo+1)*g], ...,
+    G[p+(j_hi-1)*g]): ``G`` is any position-indexed, order-consistent
+    granule-``g`` key array — the PREVIOUS full round's rank snapshot, or
+    the packed-trigram keys when no full round ran.  Consecutive granule-g
+    keys chain contexts exactly like a doubling step, but need NO final
+    full-width rank inversion and NO scatter updates (all reads come from
+    the one consistent snapshot).  Entries are never compacted: resolved
+    ones ride along idempotently, so every entry's final refined rank
+    survives to the emission correction."""
+    n = G.shape[0]
+    C = pos.shape[0]
+    iota_c = lax.iota(jnp.int32, C)
+    off_end = jnp.int32(-1) if sentinel == SENT_SMALL else _BIG
+    valid = pos >= 0
+    safe = jnp.where(valid, pos, 0)
+    keys = [jnp.where(valid, r, _BIG)]
+    for j in range(j_lo, j_hi):
+        p = safe + j * g
+        ok = valid & (p < n)
+        keys.append(jnp.where(ok, G[jnp.minimum(p, n - 1)], off_end))
+    sorted_ops = lax.sort(
+        tuple(keys) + (jnp.where(valid, pos, jnp.int32(-1)),),
+        num_keys=len(keys),
+    )
+    ks, pos_s = sorted_ops[:-1], sorted_ops[-1]
+    one = jnp.ones((1,), jnp.bool_)
+    h0 = jnp.concatenate([one, ks[0][1:] != ks[0][:-1]])
+    rest = jnp.zeros((C - 1,), jnp.bool_)
+    for kk in ks[1:]:
+        rest = rest | (kk[1:] != kk[:-1])
+    hF = h0 | jnp.concatenate([one, rest])
+    t0 = lax.cummax(jnp.where(h0, iota_c, 0))
+    tF = lax.cummax(jnp.where(hF, iota_c, 0))
+    pad = pos_s < 0
+    r_new = jnp.where(pad, _BIG, ks[0] + (tF - t0))
+    nxt = jnp.concatenate([hF[1:], one])
+    still = jnp.logical_not(hF & nxt) & jnp.logical_not(pad)
+    return pos_s, r_new, jnp.sum(still.astype(jnp.int32))
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))
@@ -393,7 +488,14 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
     previous-byte payload riding along every sort.  When the text resolves
     within the full-round loop (nactive == 0), L is the carried payload and
     base = argmax(sorted_idx == 0) — no final inversion, no emission sort.
-    Otherwise falls back to the narrowed stages + one emission sort."""
+
+    Otherwise a small residue (<= 4096 actives) takes the INVERSION-FREE
+    micro tail: tile-extract the actives from the round's own sorted order
+    (~25ms at 2^26) and refine them against the carried coarse rank
+    snapshot G (two static multi-key rounds covering context k..16k) — no
+    full-width sort at all, vs the 2x ~210ms the cascade entry costs.
+    Only large residues (or >16k-deep ties, e.g. long exact periodicity)
+    pay the full narrowed cascade."""
     n = data.shape[0]
     if n <= 1:
         return data, jnp.int32(0)
@@ -401,56 +503,103 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
     prev = jnp.roll(data, 1)
 
     si, rs, ac, na, prev_s = _bootstrap_sorted(data, prev, sentinel)
+    # G: position-indexed granule-(k/4) consistent keys. At bootstrap exit
+    # that's the packed-trigram array (context 3 = 12/4); after R full
+    # rounds it's the context-k/4 rank snapshot the round inverted anyway.
+    G0 = _trigram_keys(data, sentinel)[:n]
 
     def full_cond(state):
-        k, si, rs, ac, na, prev_s = state
+        k, si, rs, ac, na, prev_s, G = state
         return (na * 16 > n) & (na > 0) & (k < n)
 
     def full_body(state):
-        k, si, rs, ac, na, prev_s = state
-        si, rs, ac, na, prev_s = _round_full_sorted(si, rs, prev, k, sentinel)
-        return k * 4, si, rs, ac, na, prev_s
+        k, si, rs, ac, na, prev_s, G = state
+        si, rs, ac, na, prev_s, rank = _round_full_sorted(si, rs, prev, k, sentinel)
+        return k * 4, si, rs, ac, na, prev_s, rank
 
-    k, si, rs, ac, na, prev_s = lax.while_loop(
-        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s)
+    k, si, rs, ac, na, prev_s, G = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
     )
 
     def emit_direct(args):
-        k, si, rs, ac, na, prev_s = args
+        k, si, rs, ac, na, prev_s, G = args
         base = jnp.argmax(si == 0).astype(jnp.int32)
         return prev_s, base
 
-    def emit_narrowed(args):
-        k, si, rs, ac, na, prev_s = args
-        na0 = na
-        rank = _invert_permutation(si, rs)
-        apos, ar0 = _compact_from_round(si, rs, ac, cap1)
-        apos0 = apos  # entry actives: the only positions whose rank can move
+    def emit_with(pos, r, args):
+        """Scatter-correct the carried payload at the refined actives."""
+        k, si, rs, ac, na, prev_s, G = args
+        valid = pos >= 0
+        safe = jnp.where(valid, pos, 0)
+        tgt = jnp.where(valid, r, jnp.int32(n))
+        L = prev_s.at[tgt].set(prev[safe], mode="drop")
+        b_slot = jnp.argmax(si == 0).astype(jnp.int32)
+        base = jnp.maximum(
+            rs[b_slot],
+            jnp.max(jnp.where(valid & (pos == 0), r, jnp.int32(-1))),
+        )
+        return L, base
 
-        k, rank, na = _narrow_cascade(
-            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
+    def emit_narrowed(args):
+        k, si, rs, ac, na, prev_s, G = args
+        na0 = na
+
+        def run_micro(args):
+            k, si, rs, ac, na, prev_s, G = args
+            apos, ar0 = _extract_actives_sorted(si, rs, ac, na, cap3)
+            g = k // 4
+            pos1, r1, na1 = _micro_round(G, g, apos, ar0, 4, 16, sentinel)
+            return lax.cond(
+                na1 > 0,
+                lambda a: _micro_round(G, g, a[0], a[1], 16, 64, sentinel),
+                lambda a: (a[0], a[1], jnp.int32(0)),
+                (pos1, r1),
+            )
+
+        def skip_micro(args):
+            z = jnp.zeros((cap3,), jnp.int32)
+            return z - 1, z, jnp.int32(1)
+
+        mpos, mr, mna = lax.cond(na0 <= cap3, run_micro, skip_micro, args)
+
+        def cascade_path(args):
+            k, si, rs, ac, na, prev_s, G = args
+            rank = _invert_permutation(si, rs)
+            apos, ar0 = _compact_from_round(si, rs, ac, cap1)
+            apos0 = apos  # entry actives: only their slots' payload can move
+
+            k, rank, na2 = _narrow_cascade(
+                rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
+            )
+
+            # Resolved suffixes' ranks never moved (positional-rank
+            # invariant), so prev_s is correct everywhere except the entry
+            # actives: scatter-correct just those slots, width-adapted to
+            # the entry-active count.
+            def correct(width):
+                def f(L):
+                    ap = apos0[:width]
+                    safe0 = jnp.where(ap >= 0, ap, 0)
+                    final_r = jnp.where(ap >= 0, rank[safe0], jnp.int32(n))
+                    return L.at[final_r].set(prev[safe0], mode="drop")
+
+                return f
+
+            L = lax.cond(
+                na0 <= cap3, correct(min(cap3, cap1)), correct(cap1), prev_s
+            )
+            return L, rank[0]
+
+        return lax.cond(
+            mna == 0,
+            lambda a: emit_with(mpos, mr, a),
+            cascade_path,
+            args,
         )
 
-        # Resolved suffixes' ranks never moved (positional-rank invariant),
-        # so the carried payload prev_s is already correct everywhere except
-        # the entry actives: scatter-correct just those slots.  The gather/
-        # scatter width adapts to the actual entry-active count (a tiny
-        # residue — e.g. 12 stragglers at 2^26 — must not pay n/16-wide
-        # corrections; apos0 is front-compacted so its prefix suffices).
-        def correct(width):
-            def f(L):
-                ap = apos0[:width]
-                safe0 = jnp.where(ap >= 0, ap, 0)
-                final_r = jnp.where(ap >= 0, rank[safe0], jnp.int32(n))
-                corr = prev[safe0]
-                return L.at[final_r].set(corr, mode="drop")
-
-            return f
-
-        L = lax.cond(na0 <= cap3, correct(min(cap3, cap1)), correct(cap1), prev_s)
-        return L, rank[0]
-
-    return lax.cond(na == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na, prev_s))
+    return lax.cond(
+        na == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na, prev_s, G)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))

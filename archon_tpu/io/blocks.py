@@ -78,6 +78,93 @@ def encode_file(data: bytes, generation: str = "a4", block_size: int = DEFAULT_B
     return b"".join(chunks)
 
 
+def _scan_complete_blocks(path, generation: str, block_size: int):
+    """Number of COMPLETE frames in a (possibly truncated) container at
+    ``path``, and the byte offset just past the last complete frame.
+    Returns None if the file is missing/invalid or its header disagrees."""
+    import os
+
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return None
+    if size < 12:
+        return None
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if head[:4] != MAGIC:
+            return None
+        gen_id, _flags, _rsvd, bs = struct.unpack("<BBHI", head[4:12])
+        if gen_id != GENERATIONS[generation] or bs != block_size:
+            return None
+        pos, count = 12, 0
+        while True:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                break
+            (n,) = struct.unpack("<I", hdr)
+            if pos + 8 + n > size:
+                break
+            f.seek(n + 4, 1)
+            pos += 8 + n
+            count += 1
+    return count, pos
+
+
+def encode_to_path(
+    data: bytes,
+    path,
+    generation: str = "a4",
+    block_size: int = DEFAULT_BLOCK,
+    resume: bool = False,
+    flush_blocks: int = 16,
+) -> int:
+    """Streaming encode with checkpoint/resume at block granularity.
+
+    Frames are appended and flushed every ``flush_blocks`` blocks, so the
+    on-disk prefix is always a valid container of complete blocks — the
+    self-contained per-block framing the reference streams (x1:
+    [n|payload|baza] per block, ArchonX1.c:55-56,131) made into an actual
+    recovery point (SURVEY.md section 5: the reference has NO
+    checkpoint/resume; its framing is merely the implied unit).  With
+    ``resume=True`` an interrupted output is scanned, any trailing partial
+    frame is truncated away, and encoding continues from the first
+    missing block.  Returns the number of blocks (re)computed."""
+    if generation not in GENERATIONS:
+        raise ValueError(f"unknown generation {generation!r}")
+    blocks = [
+        data[i : i + block_size] for i in range(0, len(data), block_size)
+    ] or [b""]
+    done = 0
+    state = _scan_complete_blocks(path, generation, block_size) if resume else None
+    if state is not None:
+        done, keep = min(state[0], len(blocks)), state[1]
+        with open(path, "r+b") as f:
+            f.truncate(keep)
+        mode = "ab"
+    else:
+        mode = "wb"
+    computed = 0
+    with open(path, mode) as f:
+        if mode == "wb":
+            f.write(
+                MAGIC
+                + struct.pack("<BBHI", GENERATIONS[generation], 0, 0, block_size)
+            )
+        todo = blocks[done:]
+        for i in range(0, len(todo), flush_blocks):
+            batch = todo[i : i + flush_blocks]
+            for (L, base), blk in zip(
+                _batched_forward(batch, generation), batch
+            ):
+                f.write(struct.pack("<I", len(blk)))
+                f.write(L.tobytes())
+                f.write(struct.pack("<I", base))
+                computed += 1
+            f.flush()
+    return computed
+
+
 def decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
     """Invert a container.  ``strict=False`` gives per-block fault isolation
     (the recovery granularity SURVEY.md section 5 calls for): a corrupt block

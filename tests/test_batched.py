@@ -88,3 +88,58 @@ def test_batched_v3_text_blocks():
         want_L, want_base = golden.bwt_forward(rows[b], "small")
         assert L2[b].tolist() == want_L.tolist()
         assert int(base2[b]) == int(want_base)
+
+def _planted_repeat_row(n, rep_len, alpha, seed):
+    rng = np.random.default_rng(seed)
+    row = rng.integers(0, alpha, n, dtype=np.uint8)
+    blk = rng.integers(0, alpha, rep_len, dtype=np.uint8)
+    row[500 : 500 + rep_len] = blk
+    row[n // 2 : n // 2 + rep_len] = blk
+    return row
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_batched_v3_mixed_tail_paths(sentinel):
+    """One batch whose rows diverge across emission branches (fully
+    resolved / micro-tail residue / residue deeper than the micro tail's
+    16k context coverage) — exercises the per-row micro refinement and the
+    global cascade fallback together (see test_fast2 for the 1D probes)."""
+    from archon_tpu.core.batched import bwt_batched_v3
+
+    n = 32768
+    rng = np.random.default_rng(21)
+    rows = np.stack(
+        [
+            rng.integers(0, 256, n, dtype=np.uint8),    # resolves directly
+            _planted_repeat_row(n, 100, 256, 22),       # micro residue
+            _planted_repeat_row(n, 500, 2, 23),         # micro after 1 round
+            _planted_repeat_row(n, 1000, 2, 24),        # beyond micro -> cascade
+        ]
+    )
+    L2, base2 = bwt_batched_v3(rows, sentinel)
+    L2, base2 = np.asarray(L2), np.asarray(base2)
+    for b in range(rows.shape[0]):
+        want_L, want_base = golden.bwt_forward(rows[b], sentinel)
+        assert L2[b].tolist() == want_L.tolist(), f"row {b}"
+        assert int(base2[b]) == int(want_base), f"row {b}"
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_batched_v3_micro_only_batch(sentinel):
+    """All rows resolve in the micro tail (no cascade): the emission must
+    come entirely from the tile extraction + snapshot refinement path."""
+    from archon_tpu.core.batched import bwt_batched_v3
+
+    n = 32768
+    rows = np.stack(
+        [
+            _planted_repeat_row(n, 100, 256, 31),
+            _planted_repeat_row(n, 120, 256, 32),
+        ]
+    )
+    L2, base2 = bwt_batched_v3(rows, sentinel)
+    L2, base2 = np.asarray(L2), np.asarray(base2)
+    for b in range(rows.shape[0]):
+        want_L, want_base = golden.bwt_forward(rows[b], sentinel)
+        assert L2[b].tolist() == want_L.tolist(), f"row {b}"
+        assert int(base2[b]) == int(want_base), f"row {b}"

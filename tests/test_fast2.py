@@ -62,6 +62,42 @@ def test_v3_bwt_matches_golden(sentinel):
         assert int(base) == int(want_base), f"{sentinel} n={len(data)}"
 
 
+def _planted_repeat(n, rep_len, alpha, seed):
+    """Random data with one repeated block: leaves ~2*rep_len active
+    suffixes tied to depth ~rep_len after the full rounds."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, alpha, n, dtype=np.uint8)
+    blk = rng.integers(0, alpha, rep_len, dtype=np.uint8)
+    base[1000 : 1000 + rep_len] = blk
+    base[n // 2 : n // 2 + rep_len] = blk
+    return base.tobytes()
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_v3_micro_tail_paths(sentinel):
+    """Shapes verified (probe) to hit each emission branch of bwt_v3:
+    - 100-byte repeat in 64Ki random bytes: 0 full rounds -> micro tail
+      refining against the packed-trigram keys (G = p27);
+    - 500-byte repeat in 32Ki binary data: 1 full round -> micro tail
+      against the carried context-12 rank snapshot (G = rank);
+    - 1000-byte repeat in 32Ki binary data: residue deeper than the micro
+      tail's 16k context coverage -> micro runs, fails, cascade fallback."""
+    import jax.numpy as jnp
+    from archon_tpu.core.fast2 import bwt_v3
+
+    cases = [
+        _planted_repeat(65536, 100, 256, 11),   # micro, G = p27
+        _planted_repeat(32768, 500, 2, 12),     # micro, G = rank snapshot
+        _planted_repeat(32768, 1000, 2, 13),    # micro -> cascade fallback
+    ]
+    for data in cases:
+        arr = np.frombuffer(data, np.uint8)
+        L, base = bwt_v3(jnp.asarray(arr), sentinel)
+        want_L, want_base = golden.bwt_forward(arr, sentinel)
+        assert np.asarray(L).tolist() == want_L.tolist(), f"{sentinel} n={len(data)}"
+        assert int(base) == int(want_base), f"{sentinel} n={len(data)}"
+
+
 def test_v3_large_cascade_paths():
     """n > 2^20 gives three DISTINCT narrowing capacities (n/16, n/256,
     4096); heavy repetition keeps actives alive deep into the cascade."""
