@@ -19,23 +19,26 @@ import time
 
 
 def _rw(args, fn):
+    """Read-transform-write with the a4/a5-style per-stage report
+    (a5/src/archon.c:161-192 "Stage k" + "Linear coef" ms/MB)."""
     import os
 
-    from .utils.timing import profile_trace
+    from .utils.timing import StageTimer, profile_trace
 
-    with open(args.infile, "rb") as f:
-        data = f.read()
-    t0 = time.perf_counter()
+    timer = StageTimer()
+    with timer.stage("Read"):
+        with open(args.infile, "rb") as f:
+            data = f.read()
+    timer.total_bytes = len(data)
     # set ARCHON_PROFILE_DIR to capture a jax.profiler trace of the transform
-    with profile_trace(os.environ.get("ARCHON_PROFILE_DIR")):
-        out = fn(data)
-    dt = time.perf_counter() - t0
-    with open(args.outfile, "wb") as f:
-        f.write(out)
-    print(
-        f"{len(data)} -> {len(out)} bytes in {dt:.3f}s "
-        f"({len(data) / 1e6 / max(dt, 1e-9):.1f} MB/s)"
-    )
+    with timer.stage("Transform"):
+        with profile_trace(os.environ.get("ARCHON_PROFILE_DIR")):
+            out = fn(data)
+    with timer.stage("Write"):
+        with open(args.outfile, "wb") as f:
+            f.write(out)
+    print(f"{len(data)} -> {len(out)} bytes")
+    timer.report()
 
 
 def main(argv=None):
@@ -60,6 +63,11 @@ def main(argv=None):
         g.add_argument("mode", choices=["e", "d"])
         g.add_argument("infile")
         g.add_argument("outfile")
+        g.add_argument(
+            "--no-verify",
+            action="store_true",
+            help="skip the always-on LF certificate (reference builds keep it compiled in)",
+        )
 
     g6 = sub.add_parser("a6", help="a6-compatible format")
     g6.add_argument("infile")
@@ -79,6 +87,11 @@ def main(argv=None):
         gb.add_argument("-b", "--block-size", type=lambda s: int(s, 0), default=None)
         if mode == "e":
             gb.add_argument(
+                "--no-verify",
+                action="store_true",
+                help="skip the always-on LF certificate",
+            )
+            gb.add_argument(
                 "--resume",
                 action="store_true",
                 help="continue an interrupted encode: keep complete blocks "
@@ -86,30 +99,53 @@ def main(argv=None):
             )
 
     args = p.parse_args(argv)
+    cfg = _config_from_args(args)
 
     if args.cmd in ("a4", "a7"):
         from . import formats
 
         if args.mode == "e":
-            _rw(args, lambda d: formats.encode(d, args.cmd))
+            _rw(args, lambda d: formats.encode(d, cfg.generation, verify=cfg.verify))
         else:
-            _rw(args, lambda d: formats.decode(d, args.cmd))
+            _rw(args, lambda d: formats.decode(d, cfg.generation, device=not cfg.use_native))
     elif args.cmd == "a6":
         from .core import a6 as core_a6
 
         if args.unpack:
-            _rw(args, lambda d: core_a6.a6_decode(d, args.coder))
+            _rw(args, lambda d: core_a6.a6_decode(d, cfg.coder))
         else:
-            _rw(args, lambda d: core_a6.a6_encode(d, args.coder))
+            _rw(args, lambda d: core_a6.a6_encode(d, cfg.coder))
     else:
         from .io import blocks
 
         if args.cmd == "e":
-            bs = args.block_size or blocks.DEFAULT_BLOCK
-            _rw(args, lambda d: blocks.encode_file(d, args.generation, bs))
+            _rw(
+                args,
+                lambda d: blocks.encode_file(
+                    d, cfg.generation, cfg.block_size, verify=cfg.verify
+                ),
+            )
         else:
             _rw(args, blocks.decode_file)
     return 0
+
+
+def _config_from_args(args) -> "ArchonConfig":
+    """Collect the parsed flags into the single ArchonConfig the pipelines
+    consume (SURVEY.md section 5: one dataclass config, reference switch names)."""
+    from .config import ArchonConfig
+    from .io.blocks import DEFAULT_BLOCK
+
+    cfg = ArchonConfig()
+    cfg.generation = getattr(args, "generation", None) or (
+        args.cmd if args.cmd in ("a4", "a6", "a7") else "a4"
+    )
+    cfg.verify = not getattr(args, "no_verify", False)
+    cfg.block_size = getattr(args, "block_size", None) or DEFAULT_BLOCK
+    cfg.coder = getattr(args, "coder", cfg.coder)
+    cfg.order = getattr(args, "order", cfg.order)
+    cfg.radix = getattr(args, "radix", cfg.radix)
+    return cfg
 
 
 if __name__ == "__main__":

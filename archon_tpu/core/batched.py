@@ -528,21 +528,11 @@ def _narrow_cascade2(rank, k, na, apos, ar0, sentinel: str, caps):
     return k, rank, na
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel",))
-def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
-    """Block-parallel forward BWT, v3 structure: returns (L2, base2).
-
-    Full rounds carry the previous-byte payload and defer rank inversion;
-    when every block resolves inside the full-round loop (the common case
-    for text) L2 is the carried payload directly — no inversions, no
-    emission sorts.  Small residues (<= 4096 actives in every block) take
-    the inversion-free micro tail (tile extraction + two static multi-key
-    refinement rounds against the carried coarse rank snapshot — no
-    full-width sorts; see fast2.bwt_v3); only large or >16k-deep residues
-    pay the full-width narrowing cascade."""
+def _bwt_batched_v3_impl(data2: jnp.ndarray, sentinel: str, want_rank: bool):
+    """Shared v3 body: returns (L2, base2, rank2) where rank2 is the final
+    full-width rank array when ``want_rank`` (paying the one inversion sort
+    the unranked path elides) and a (B, 0) placeholder otherwise."""
     B, n = data2.shape
-    if n <= 1:
-        return data2, jnp.zeros((B,), jnp.int32)
     cap1 = max(min(n, 4096), n // 16)
     cap2 = max(min(n, 4096), n // 256)
     cap3 = min(n, 4096)
@@ -565,10 +555,14 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
         full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
     )
 
+    def _rank_placeholder():
+        return jnp.zeros((B, 0), jnp.int32)
+
     def emit_direct(args):
         k, si, rs, ac, na, prev_s, G = args
         base = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
-        return prev_s, base
+        rank = _invert_rows(si, rs) if want_rank else _rank_placeholder()
+        return prev_s, base, rank
 
     def emit_with(pos, r, args):
         """Scatter-correct the carried payload at the refined actives."""
@@ -587,7 +581,16 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
                 jnp.where(valid & (pos == 0), r, jnp.int32(-1)), axis=1
             ),
         )
-        return L, base
+        if want_rank:
+            # resolved ranks never move (positional-rank invariant); only
+            # the refined actives' slots differ from the coarse inversion
+            rank = _invert_rows(si, rs)
+            rank = rank.at[rows, jnp.where(valid, pos, jnp.int32(n))].set(
+                jnp.where(valid, r, 0), mode="drop"
+            )
+        else:
+            rank = _rank_placeholder()
+        return L, base, rank
 
     def emit_narrowed(args):
         k, si, rs, ac, na, prev_s, G = args
@@ -647,7 +650,7 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
                 correct(cap1),
                 prev_s,
             )
-            return L, rank[:, 0]
+            return L, rank[:, 0], (rank if want_rank else _rank_placeholder())
 
         return lax.cond(
             jnp.max(mna) == 0,
@@ -662,6 +665,87 @@ def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
         emit_narrowed,
         (k, si, rs, ac, na, prev_s, G),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Block-parallel forward BWT, v3 structure: returns (L2, base2).
+
+    Full rounds carry the previous-byte payload and defer rank inversion;
+    when every block resolves inside the full-round loop (the common case
+    for text) L2 is the carried payload directly — no inversions, no
+    emission sorts.  Small residues (<= 4096 actives in every block) take
+    the inversion-free micro tail (tile extraction + two static multi-key
+    refinement rounds against the carried coarse rank snapshot — no
+    full-width sorts; see fast2.bwt_v3); only large or >16k-deep residues
+    pay the full-width narrowing cascade."""
+    B, n = data2.shape
+    if n <= 1:
+        return data2, jnp.zeros((B,), jnp.int32)
+    L, base, _ = _bwt_batched_v3_impl(data2, sentinel, want_rank=False)
+    return L, base
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_batched_v3_certified(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Forward BWT with the always-on certificate the reference production
+    binaries keep compiled in (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23
+    VERIFY=VF_SORT verifies during output): returns (L2, base2, ok2).
+
+    ok2[b] is a full sufficiency certificate for block b — rank2 is a
+    permutation whose sorted order lists suffixes in strictly increasing
+    (char, next-suffix-rank) order, L2/base2 agree with that rank array —
+    computed with one extra rank inversion plus one certificate sort per
+    block on top of the v3 pipeline."""
+    B, n = data2.shape
+    if n <= 1:
+        return data2, jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.bool_)
+    L, base, rank = _bwt_batched_v3_impl(data2, sentinel, want_rank=True)
+    ok = verify_bwt_batched(data2, rank, L, base, sentinel)
+    return L, base, ok
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def verify_bwt_batched(
+    data2: jnp.ndarray,
+    rank2: jnp.ndarray,
+    L2: jnp.ndarray,
+    base2: jnp.ndarray,
+    sentinel: str = SENT_SMALL,
+) -> jnp.ndarray:
+    """Per-row BWT certificate (batched analog of core.bwt.verify_sa, fused
+    with the emission check): True iff rank2 is the rank array of row data
+    under the sentinel convention AND (L2, base2) is its BWT emission.
+
+    One 1-key sort with three payloads does all the work: sorting by rank
+    yields the SA order, where the first chars, successor ranks, and
+    previous bytes arrive as payloads — the reference's O(N) LF walk
+    (a4/src/archon.c:210-225) with zero random gathers."""
+    B, n = data2.shape
+    if n == 0:
+        return jnp.ones((B,), jnp.bool_)
+    iota2 = _row_iota(B, n)
+    off = jnp.int32(-1) if sentinel == SENT_SMALL else jnp.int32(n + 1)
+    nxt = jnp.where(
+        iota2 + 1 < n,
+        jnp.concatenate([rank2[:, 1:], rank2[:, :1]], axis=1),
+        off,
+    )
+    prev2 = jnp.roll(data2, 1, axis=1)
+    r_s, c_s, nxt_s, L_s = lax.sort(
+        (rank2, data2.astype(jnp.int32), nxt, prev2), num_keys=1, dimension=1
+    )
+    perm_ok = jnp.all(r_s == iota2, axis=1)
+    c_lt = c_s[:, :-1] < c_s[:, 1:]
+    c_eq = c_s[:, :-1] == c_s[:, 1:]
+    adj_ok = (
+        jnp.all(c_lt | (c_eq & (nxt_s[:, :-1] < nxt_s[:, 1:])), axis=1)
+        if n > 1
+        else jnp.ones((B,), jnp.bool_)
+    )
+    L_ok = jnp.all(L_s == L2, axis=1)
+    base_ok = base2 == rank2[:, 0]
+    return perm_ok & adj_ok & L_ok & base_ok
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))

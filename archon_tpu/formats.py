@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .core.bwt import bwt_forward, verify_sa
 from .core.unbwt import bwt_inverse
 from .core.doubling import SENT_LARGE, SENT_SMALL
 
@@ -21,15 +20,27 @@ _CONVENTION = {"a4": SENT_SMALL, "a7": SENT_LARGE}
 
 def encode(data: bytes, generation: str = "a4", verify: bool = True) -> bytes:
     """Transform ``data`` into an a4/a7-format blob, byte-exact with the
-    reference binaries (where those are themselves correct)."""
+    reference binaries (where those are themselves correct).
+
+    Runs the measurement-tuned v3 sorter (core/batched.bwt_batched_v3 on a
+    single row); ``verify=True`` (default) uses the certified variant whose
+    LF certificate stays compiled in, matching the reference's always-on
+    VERIFY discipline (a4/src/main.c:7, a6/src/bwt.c:19-23)."""
     sentinel = _CONVENTION[generation]
-    arr = jnp.asarray(np.frombuffer(data[::-1], dtype=np.uint8))
-    if arr.shape[0] == 0:
+    arr = jnp.asarray(np.frombuffer(data[::-1], dtype=np.uint8)).reshape(1, -1)
+    if arr.shape[1] == 0:
         return np.uint32(0).tobytes()
-    L, base, sa = bwt_forward(arr, sentinel)
-    if verify and not bool(verify_sa(arr, sa, sentinel)):
-        raise AssertionError("SA verification failed (internal error)")
-    return np.asarray(L).tobytes() + np.uint32(int(base)).tobytes()
+    if verify:
+        from .core.batched import bwt_batched_v3_certified
+
+        L, base, ok = bwt_batched_v3_certified(arr, sentinel)
+        if not bool(ok[0]):
+            raise AssertionError("BWT verification failed (internal error)")
+    else:
+        from .core.batched import bwt_batched_v3
+
+        L, base = bwt_batched_v3(arr, sentinel)
+    return np.asarray(L[0]).tobytes() + np.uint32(int(base[0])).tobytes()
 
 
 def decode(blob: bytes, generation: str = "a4", device: bool = False) -> bytes:

@@ -34,10 +34,14 @@ GEN_NAMES = {v: k for k, v in GENERATIONS.items()}
 DEFAULT_BLOCK = 1 << 22  # 4 MiB, the x1 historical default (ArchonX1.c:19)
 
 
-def _batched_forward(blocks: list[bytes], generation: str):
-    """Transform blocks, batching equal-length runs through the dp pipeline."""
+def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True):
+    """Transform blocks, batching equal-length runs through the dp pipeline.
+
+    ``verify=True`` (default) runs the per-block LF certificate on device —
+    the production container keeps verification always-on exactly like the
+    reference binaries do (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23)."""
     from ..core.doubling import SENT_SMALL, SENT_LARGE
-    from ..parallel.blocks import bwt_blocks
+    from ..parallel.blocks import bwt_blocks, bwt_blocks_certified
     import jax.numpy as jnp
 
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
@@ -54,7 +58,16 @@ def _batched_forward(blocks: list[bytes], generation: str):
         batch = np.stack(
             [np.frombuffer(b[::-1], np.uint8) for b in blocks[i:j]]
         )
-        L, base = bwt_blocks(jnp.asarray(batch), sentinel)
+        if verify:
+            L, base, ok = bwt_blocks_certified(jnp.asarray(batch), sentinel)
+            ok = np.asarray(ok)
+            if not ok.all():
+                bad = [i + t for t in np.nonzero(~ok)[0].tolist()]
+                raise AssertionError(
+                    f"BWT verification failed for block(s) {bad} (internal error)"
+                )
+        else:
+            L, base = bwt_blocks(jnp.asarray(batch), sentinel)
         L = np.asarray(L)
         base = np.asarray(base)
         for t in range(j - i):
@@ -63,7 +76,12 @@ def _batched_forward(blocks: list[bytes], generation: str):
     return out
 
 
-def encode_file(data: bytes, generation: str = "a4", block_size: int = DEFAULT_BLOCK) -> bytes:
+def encode_file(
+    data: bytes,
+    generation: str = "a4",
+    block_size: int = DEFAULT_BLOCK,
+    verify: bool = True,
+) -> bytes:
     if generation not in GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
     header = MAGIC + struct.pack(
@@ -71,7 +89,7 @@ def encode_file(data: bytes, generation: str = "a4", block_size: int = DEFAULT_B
     )
     blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
     chunks = [header]
-    for (L, base), blk in zip(_batched_forward(blocks, generation), blocks):
+    for (L, base), blk in zip(_batched_forward(blocks, generation, verify), blocks):
         chunks.append(struct.pack("<I", len(blk)))
         chunks.append(L.tobytes())
         chunks.append(struct.pack("<I", base))
@@ -118,6 +136,7 @@ def encode_to_path(
     block_size: int = DEFAULT_BLOCK,
     resume: bool = False,
     flush_blocks: int = 16,
+    verify: bool = True,
 ) -> int:
     """Streaming encode with checkpoint/resume at block granularity.
 
@@ -155,7 +174,7 @@ def encode_to_path(
         for i in range(0, len(todo), flush_blocks):
             batch = todo[i : i + flush_blocks]
             for (L, base), blk in zip(
-                _batched_forward(batch, generation), batch
+                _batched_forward(batch, generation, verify), batch
             ):
                 f.write(struct.pack("<I", len(blk)))
                 f.write(L.tobytes())

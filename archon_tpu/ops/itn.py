@@ -54,21 +54,51 @@ def it2_lucky(data: np.ndarray) -> np.ndarray:
     return (d > nxt) & (d >= prev)
 
 
-def split_fractions(data: np.ndarray, max_order: int = 5) -> dict[int, float]:
-    """a5/tool/estimate analog: fraction of suffixes in the directly-sorted
-    IT groups per order (estimate.c:11-83; recorded results in
-    a5/tool/estimate/result/{3,4,5}.txt)."""
-    out = {}
+def estimate_masks(data: np.ndarray, order: int) -> np.ndarray:
+    """Per-position sliding descent-window mask with the reference's exact
+    semantics (a5/tool/estimate/estimate.c:56-66): bit = (a > c) where ``a``
+    is the last symbol *different* from the previous one (run-skipping), and
+    the window shifts MSB-first (mask = (mask*2 + bit) & (2^order - 1))."""
     n = len(data)
-    for order in range(2, max_order + 1):
-        mask = it_masks(data, order)
-        # lucky groups per a5: the two descent-pattern bands the reference
-        # sorts directly ([0x2,0x4) and [0xC,0xE) for order 4,
-        # a5/src/archon.c:166-174); generalized: strict local-max band
-        lo1, hi1 = 0x2 << (order - 4) if order >= 4 else 1, None
-        # For the study we report the a4-style fraction: strict descents
-        frac = float(np.mean((mask & 1).astype(np.float64)))
-        out[order] = frac
+    d = np.asarray(data, np.uint8)
+    masks = np.zeros(n, np.int32)
+    a = b = 0xFF
+    mask = 0
+    lim = (1 << order) - 1
+    for i in range(n):
+        c = int(d[i])
+        if c != b:
+            a = b
+        b = c
+        mask = ((mask << 1) | (1 if a > c else 0)) & lim
+        masks[i] = mask
+    return masks
+
+
+def split_fractions(data: np.ndarray, max_order: int = 5) -> dict[int, dict[str, float]]:
+    """a5/tool/estimate analog: per IT order, the fraction of positions in
+    the two directly-sorted descent bands (estimate.c:56-75; recorded
+    results a5/tool/estimate/result/{3,4,5}.txt — e.g. order 3: groups
+    001 + 110 = 24%).
+
+    The bands generalize a5's order-4 direct-sort groups [0x2, 0x4) and
+    [0xC, 0xE) (a5/src/archon.c:166-174): band A = [2^(o-3), 2^(o-2)),
+    band B is its bitwise complement [2^o - 2^(o-2), 2^o - 2^(o-3)); for
+    order 3 they degenerate to the singletons {001} and {110} the result
+    files record.  Returns {order: {"band_a", "band_b", "lucky"}}."""
+    out: dict[int, dict[str, float]] = {}
+    n = len(data)
+    if n == 0:
+        return out
+    for order in range(3, max_order + 1):
+        masks = estimate_masks(data, order)
+        lo_a, hi_a = 1 << max(order - 3, 0), 1 << (order - 2)
+        lo_b, hi_b = (1 << order) - hi_a, (1 << order) - lo_a
+        in_a = (masks >= lo_a) & (masks < hi_a)
+        in_b = (masks >= lo_b) & (masks < hi_b)
+        fa = float(in_a.mean())
+        fb = float(in_b.mean())
+        out[order] = {"band_a": fa, "band_b": fb, "lucky": fa + fb}
     return out
 
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.batched import bwt_batched_v3
+from ..core.batched import bwt_batched_v3, bwt_batched_v3_certified
 from ..core.unbwt import bwt_inverse
 from ..core.doubling import SENT_SMALL
 
@@ -39,6 +39,11 @@ def _bwt_blocks(blocks: jnp.ndarray, sentinel: str):
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))
+def _bwt_blocks_certified(blocks: jnp.ndarray, sentinel: str):
+    return bwt_batched_v3_certified(blocks, sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
 def _unbwt_blocks(L: jnp.ndarray, base: jnp.ndarray, sentinel: str):
     return jax.vmap(lambda l, b: bwt_inverse(l, b, sentinel))(L, base)
 
@@ -49,6 +54,16 @@ def bwt_blocks(blocks, sentinel: str = SENT_SMALL, mesh: Mesh | None = None):
         spec = NamedSharding(mesh, P("dp"))
         blocks = jax.device_put(blocks, spec)
     return _bwt_blocks(blocks, sentinel)
+
+
+def bwt_blocks_certified(blocks, sentinel: str = SENT_SMALL, mesh: Mesh | None = None):
+    """Forward-BWT with the always-on per-block LF certificate: returns
+    (L2, base2, ok2) — the dp-sharded production path with verification
+    compiled in, like the reference's VERIFY builds (a4/src/main.c:7)."""
+    if mesh is not None:
+        spec = NamedSharding(mesh, P("dp"))
+        blocks = jax.device_put(blocks, spec)
+    return _bwt_blocks_certified(blocks, sentinel)
 
 
 def unbwt_blocks(L, base, sentinel: str = SENT_SMALL, mesh: Mesh | None = None):
