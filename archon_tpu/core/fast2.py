@@ -254,14 +254,14 @@ def _narrow_cascade(rank, k, na, apos, ar0, sentinel: str, caps):
     return k, rank, na
 
 
-def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
-    n = data.shape[0]
+def _ranks_loop(boot_state, k0: int, n: int, sentinel: str) -> jnp.ndarray:
+    """Shared back half of the rank pipelines: full-width quadrupling rounds
+    while actives > n/16, then the narrowed cascade.  ``boot_state`` is a
+    bootstrap round's (rank, nactive, sorted_idx, ranks_sorted, active_s);
+    ``k0`` is the context the bootstrap already covers."""
     cap1, cap2, cap3 = _narrow_caps(n)
+    rank, nactive, si, rs, ac = boot_state
 
-    # --- bootstrap: context 12 in one 4-key sort (no separate init)
-    rank, nactive, si, rs, ac = _bootstrap_round(data, sentinel)
-
-    # --- full-width quadrupling rounds while actives > n/16
     def full_cond(state):
         k, rank, na, _si, _rs, _ac = state
         return (na * 16 > n) & (na > 0) & (k < n)
@@ -272,7 +272,7 @@ def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
         return k * 4, new_rank, na, si, rs, ac
 
     k, rank, nactive, si, rs, ac = lax.while_loop(
-        full_cond, full_body, (jnp.int32(12), rank, nactive, si, rs, ac)
+        full_cond, full_body, (jnp.int32(k0), rank, nactive, si, rs, ac)
     )
 
     # --- narrowed cascade (compaction reuses the last round's order)
@@ -291,6 +291,61 @@ def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
         (k, rank, nactive, si, rs, ac),
     )
     return rank
+
+
+def _ranks_impl(data: jnp.ndarray, sentinel: str) -> jnp.ndarray:
+    n = data.shape[0]
+    # bootstrap: context 12 in one 4-key sort (no separate init)
+    return _ranks_loop(_bootstrap_round(data, sentinel), 12, n, sentinel)
+
+
+def _bootstrap_window_round(win: jnp.ndarray, w: int, sentinel: str):
+    """Bootstrap from caller-supplied window keys: ``win[x]`` is an
+    order-consistent comparison key for ``w`` underlying positions starting
+    at x.  Four keys at offsets 0,w,2w,3w give context 4w in one sort —
+    the generalization the a6 bit path seeds its 16-bit windows through."""
+    m = win.shape[0]
+    iota = lax.iota(jnp.int32, m)
+    off = jnp.int32(-1) if sentinel == SENT_SMALL else _BIG
+    winp = jnp.concatenate([win.astype(jnp.int32), jnp.full((3 * w,), off, jnp.int32)])
+
+    def key(j):
+        return lax.slice(winp, (j * w,), (j * w + m,))
+
+    k0_s, k1_s, k2_s, k3_s, sorted_idx = lax.sort(
+        (key(0), key(1), key(2), key(3), iota), num_keys=4
+    )
+    head = jnp.concatenate(
+        [
+            jnp.ones((1,), jnp.bool_),
+            (k0_s[1:] != k0_s[:-1])
+            | (k1_s[1:] != k1_s[:-1])
+            | (k2_s[1:] != k2_s[:-1])
+            | (k3_s[1:] != k3_s[:-1]),
+        ]
+    )
+    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    rank = _invert_permutation(sorted_idx, ranks_sorted)
+    nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
+    active_s = jnp.logical_not(head & nxt)
+    nactive = jnp.sum(active_s.astype(jnp.int32))
+    return rank, nactive, sorted_idx, ranks_sorted, active_s
+
+
+@functools.partial(jax.jit, static_argnames=("w", "sentinel"))
+def suffix_ranks_windows(
+    win: jnp.ndarray, w: int, sentinel: str = SENT_SMALL
+) -> jnp.ndarray:
+    """Rank array of the implicit string whose order-``w`` context keys are
+    ``win`` (int32), via the full measurement-tuned pipeline (quadrupling
+    rounds, narrowed cascade).  The caller owns the window construction and
+    its tail semantics; reads past the end use the sentinel convention."""
+    m = win.shape[0]
+    if m <= 1:
+        return jnp.zeros((m,), jnp.int32)
+    return _ranks_loop(
+        _bootstrap_window_round(win, w, sentinel), 4 * w, m, sentinel
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("sentinel",))

@@ -2,25 +2,42 @@
 
 For inputs too large for one chip, the text shards across the ``sp`` mesh
 axis and each doubling round runs as a distributed sort (SURVEY.md section 7
-layer 8b; the all_to_all "rank merge" of BASELINE config 5):
+layer 8b; the rank-merge scale-out of BASELINE config 5).  Per round
+(context k, quadrupling — the tuple (r@0, r@k, r@2k, r@3k) covers 4k):
 
-1. shifted ranks r@k come from neighbor shards (halo/all_gather);
-2. tuples (r0, r@k, r@2k, r@3k, pos) route to the shard owning their r0
-   *range* with one all_to_all.  Positional ranks are sorted positions,
-   hence near-uniform on [0, n): the range partitioner is balanced by
-   construction — no splitter sampling needed (capacity-padded 2x for
-   tie-group skew);
-3. each shard sorts its received tuples locally — shard-ordered
-   concatenation is the global order; boundary head flags travel by
-   ppermute; global slot numbers come from an exclusive scan of per-shard
-   counts;
-4. new (pos, rank) pairs route back to the shard owning ``pos`` with a
-   second all_to_all.
+1. shifted ranks r@jk arrive by a *bounded halo*: for static k the window
+   ``rank[pos + j*k : pos + j*k + S]`` is two static slices of two ring
+   neighbors at distance ``(j*k)//S`` — exactly S values per window travel
+   by ppermute (the round-1 full ``all_gather`` is gone; per-shard memory
+   is O(S), never O(n));
+2. tuples (r0, r1, r2, r3, pos) — ``pos`` makes the key total — are sorted
+   globally by a **bitonic merge-split network over shards**: local sort,
+   then log2(ns)*(log2(ns)+1)/2 ppermute+merge stages.  By the merge-split
+   replacement principle (any sorting network sorts blocks when
+   compare-exchange becomes merge-split of sorted blocks) the result is the
+   exact global order with *exactly S tuples per shard*: no splitter
+   sampling, no per-destination capacity, and therefore no overflow aborts —
+   a tie group spanning every shard (all-zeros input) is handled by
+   construction, restoring the repetition-immunity the single-chip doubling
+   core is built on (core/doubling.py);
+3. head flags compare neighbor tuples (boundary tuple by ppermute); the
+   group-head slot propagates across any number of headless shards via an
+   all_gather of ns per-shard scalars + running max;
+4. (pos, new_rank) pairs return to pos-owner shards by a second (2-wide)
+   merge-split network — the route-back is a permutation, and the same
+   theorem gives exact balance with zero capacity assumptions.
 
-Per round: one local sort, two all_to_all, two ppermutes — all ICI
-traffic.  One scalar (the surviving-tie count) reaches the host per round
-for termination.  This is the scaling skeleton favored for clarity; the
-driver dry-runs it on a virtual CPU mesh.
+Termination runs *dispatch-ahead*: round k+1 is enqueued before round k's
+surviving-tie count is fetched, so the host sync overlaps device execution
+(at most one wasted round).  Rounds are compiled per static k (the halo
+ring distances must be static for ppermute); builders are cached.
+
+Scale notes: traffic per round per shard is 3S (halo) + 5S*stages +
+2S*stages — more raw volume than an all_gather at tiny shard counts but
+O(S) memory and ICI-only neighbor traffic.  On real TPU pods the sampled
+all_to_all route (lax.ragged_all_to_all) is the bandwidth-optimal upgrade;
+it is UNIMPLEMENTED on XLA:CPU (verified here), so this portable network —
+which the driver dry-runs on a CPU mesh — stays the default.
 """
 
 from __future__ import annotations
@@ -40,200 +57,203 @@ except ImportError:  # pragma: no cover
 from ..core.doubling import SENT_LARGE, SENT_SMALL
 
 AXIS = "sp"
-BIG = np.int32(0x7FFFFFFF)
 
 
-def _ring(nshards: int, step: int = 1):
-    return [(i, (i + step) % nshards) for i in range(nshards)]
+def _pairs(ns: int, m: int):
+    """ppermute spec exchanging with the partner at xor-distance m."""
+    return [(i, i ^ m) for i in range(ns)]
 
 
-def _route(keys, values, dest, nshards: int, cap: int, valid_in=None):
-    """all_to_all: element e -> shard dest[e] (elements with valid_in False
-    are not sent).  Fixed per-destination capacity ``cap``; overflow is
-    *counted* (not silent) so the caller can abort.  Returns (recv_keys,
-    recv_values list, dropped); pads carry key=BIG / value=-1."""
-    S = keys.shape[0]
-    if valid_in is None:
-        dest_eff = dest
-    else:
-        dest_eff = jnp.where(valid_in, dest, jnp.int32(nshards))
-    order = jnp.argsort(dest_eff)
-    dest_s = dest_eff[order]
-    ks = keys[order]
-    vs = [v[order] for v in values]
-    counts = jnp.zeros((nshards + 1,), jnp.int32).at[dest_s].add(1)[:nshards]
-    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]])
-    slot = lax.iota(jnp.int32, nshards * cap).reshape(nshards, cap)
-    lane = slot % cap
-    src = jnp.minimum(starts[:, None] + lane, S - 1)
-    valid = lane < jnp.minimum(counts, cap)[:, None]
-    dropped = jnp.sum(jnp.maximum(counts - cap, 0))
-    send_k = jnp.where(valid, ks[src], BIG)
-    send_vs = [jnp.where(valid, v[src], jnp.int32(-1)) for v in vs]
-    recv_k = lax.all_to_all(send_k, AXIS, 0, 0)
-    recv_vs = [lax.all_to_all(v, AXIS, 0, 0) for v in send_vs]
-    return recv_k.reshape(-1), [v.reshape(-1) for v in recv_vs], dropped
+def _rot(ns: int, d: int):
+    """ppermute spec: receiver i gets data from shard (i + d) % ns."""
+    return [(s, (s - d) % ns) for s in range(ns)]
 
 
-def _make_round(mesh: Mesh, S: int, n: int, sentinel: str):
-    """Build the jitted distributed round: (rank_shard, k) -> (rank, nactive)."""
-    nshards = mesh.shape[AXIS]
-    off_end = np.int32(-1) if sentinel == SENT_SMALL else np.int32(n + 1)
-    # per-destination capacity: 4x the balanced average (skew slack); the
-    # route reports overflow instead of corrupting
-    cap = min(S, 4 * S // nshards + 64)
+def _bitonic_stages(ns: int):
+    """(k_bit, m) per merge-split stage of Batcher's bitonic network."""
+    stages = []
+    size = 2
+    while size <= ns:
+        m = size // 2
+        while m >= 1:
+            stages.append((size, m))
+            m //= 2
+        size *= 2
+    return stages
 
-    def round_fn(rank_shard, k):
-        shard_id = lax.axis_index(AXIS)
-        iota = lax.iota(jnp.int32, S)
-        pos = shard_id * S + iota
 
-        # clarity-first shifted ranks: full all_gather (a bounded halo ring
-        # replaces this at scale; volume is the whole rank array)
-        rank_all = lax.all_gather(rank_shard, AXIS, tiled=True)
+def _merge_split_sort(arrays, num_keys: int, ns: int, sid):
+    """Globally sort shard-distributed arrays by the first num_keys operands.
 
-        def shifted(j):
-            p = pos + j * k
-            return jnp.where(p < n, rank_all[jnp.minimum(p, n - 1)], off_end)
+    Each shard's slice is sorted locally, then Batcher's bitonic network runs
+    over shards with merge-split comparators.  Keys must be totally ordering
+    (include a unique tie-break operand among the keys).  Returns arrays in
+    global sorted order: shard i holds global slots [i*S, (i+1)*S).
+    """
+    arrays = list(lax.sort(tuple(arrays), num_keys=num_keys))
+    S = arrays[0].shape[0]
+    for k_bit, m in _bitonic_stages(ns):
+        perm = _pairs(ns, m)
+        partner = [lax.ppermute(a, AXIS, perm) for a in arrays]
+        both = [jnp.concatenate([a, b]) for a, b in zip(arrays, partner)]
+        merged = lax.sort(tuple(both), num_keys=num_keys)
+        # min half goes to the lower shard of the pair in an ascending
+        # region ((sid & k_bit) == 0), to the higher shard otherwise
+        keep_low = ((sid & m) == 0) == ((sid & k_bit) == 0)
+        arrays = [jnp.where(keep_low, mg[:S], mg[S:]) for mg in merged]
+    return arrays
 
-        r0, r1, r2, r3 = rank_shard, shifted(1), shifted(2), shifted(3)
 
-        dest = jnp.clip(r0 // S, 0, nshards - 1)
-        rk, (g1, g2, g3, gpos), drop1 = _route(r0, (r1, r2, r3, pos), dest, nshards, cap)
+def _halo_window(rank_shard, jk: int, S: int, ns: int):
+    """Global rank[sid*S + jk : sid*S + jk + S] via at most two ppermutes.
 
-        r0_s, r1_s, r2_s, r3_s, pos_s = lax.sort((rk, g1, g2, g3, gpos), num_keys=4)
-        valid = r0_s != BIG
-        nvalid = jnp.sum(valid.astype(jnp.int32))
+    Values at global positions >= n are garbage; the caller masks them.
+    """
+    d, o = divmod(jk, S)
+    d %= ns  # ring arithmetic; off-end positions are masked by the caller
 
-        counts = lax.all_gather(nvalid, AXIS)
-        base = jnp.sum(
-            jnp.where(lax.iota(jnp.int32, nshards) < shard_id, counts, 0)
-        )
-        g_slot = base + jnp.cumsum(valid.astype(jnp.int32)) - 1
+    def fetch(x, dist):  # distance-0 needs no wire
+        return x if dist == 0 else lax.ppermute(x, AXIS, _rot(ns, dist))
 
-        # head flags; previous shard's last valid tuple via ppermute
-        last_i = jnp.maximum(nvalid - 1, 0)
-        last_tuple = jnp.stack([r0_s[last_i], r1_s[last_i], r2_s[last_i], r3_s[last_i]])
-        prev = lax.ppermute(last_tuple, AXIS, _ring(nshards))
-        cur = jnp.stack([r0_s, r1_s, r2_s, r3_s])
-        before = jnp.concatenate([prev[:, None], cur[:, :-1]], axis=1)
-        head = jnp.any(cur != before, axis=0)
-        head = head.at[0].set(jnp.where(shard_id == 0, True, head[0]))
-        head = head & valid
+    if o == 0:
+        return fetch(rank_shard, d)
+    a = fetch(rank_shard[o:], d)
+    b = fetch(rank_shard[:o], (d + 1) % ns)
+    return jnp.concatenate([a, b])
 
-        # positional rank = global slot of group head; cross-shard carry
-        local_head = lax.cummax(jnp.where(head, g_slot, -1))
-        carry_in = lax.ppermute(local_head[-1:], AXIS, _ring(nshards))
-        carry_in = jnp.where(shard_id == 0, jnp.int32(0), carry_in[0])
-        new_rank_s = jnp.maximum(local_head, carry_in)
 
-        # surviving ties: group size > 1.  next-slot head comes from the
-        # next shard's first head flag
-        nbr_first = lax.ppermute(head[:1], AXIS, _ring(nshards, -1))
-        nxt_head = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
-        nxt_head = nxt_head.at[-1].set(
-            jnp.where(shard_id == nshards - 1, True, nbr_first[0])
-        )
-        active = valid & jnp.logical_not(head & nxt_head)
-        nactive = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
+def _slot_ranks(keys, pos, S: int, ns: int, n: int, sid):
+    """Shared back half of init and rounds: global sort of (keys..., pos),
+    head flags, group-head slot ranks with cross-shard propagation, active
+    count, and the merge-split route-back to pos order.
 
-        # route (pos, rank) back to pos-owner shards
-        dest2 = jnp.clip(jnp.where(valid, pos_s // S, nshards - 1), 0, nshards - 1)
-        key2 = jnp.where(valid, pos_s, BIG)
-        rp, (rr,), drop2 = _route(key2, (new_rank_s,), dest2, nshards, cap, valid_in=valid)
-        ok = rp != BIG
-        local_p = jnp.where(ok, rp - shard_id * S, S)
-        new_rank = jnp.zeros((S,), jnp.int32).at[local_p].set(
-            jnp.where(ok, rr, 0), mode="drop"
-        )
-        dropped = lax.psum(drop1 + drop2, AXIS)
-        return new_rank, nactive, dropped
+    Returns (new_rank_shard, nactive)."""
+    width = len(keys)
+    srt = _merge_split_sort(list(keys) + [pos], width + 1, ns, sid)
+    keys_s, pos_s = srt[:width], srt[width]
+    iota = lax.iota(jnp.int32, S)
+    g_slot = sid * S + iota
+
+    # head flags: tuple differs from predecessor (previous shard's last
+    # tuple crosses by ppermute; shard 0 slot 0 is always a head)
+    last = jnp.stack([k[-1] for k in keys_s])
+    prev = lax.ppermute(last, AXIS, _rot(ns, -1))
+    cur = jnp.stack(keys_s)
+    before = jnp.concatenate([prev[:, None], cur[:, :-1]], axis=1)
+    head = jnp.any(cur != before, axis=0)
+    head = head.at[0].set(jnp.where(sid == 0, True, head[0]))
+
+    # rank := slot of the group head.  local cummax, then an exact carry:
+    # every shard's last head-slot is all_gathered (ns scalars) and the
+    # running max over preceding shards propagates across any number of
+    # headless shards in one step.
+    local_head = lax.cummax(jnp.where(head, g_slot, -1))
+    lasts = lax.all_gather(local_head[-1], AXIS)
+    carry = jnp.max(
+        jnp.where(lax.iota(jnp.int32, ns) < sid, lasts, -1)
+    )
+    new_rank_s = jnp.maximum(local_head, carry)
+
+    # surviving ties: group size > 1  <=>  not (head & next-is-head).
+    # the successor of the shard's last slot lives on the next shard.
+    nbr_first = lax.ppermute(head[:1], AXIS, _rot(ns, 1))
+    nxt_head = jnp.concatenate([head[1:], nbr_first])
+    nxt_head = nxt_head.at[-1].set(
+        jnp.where(sid == ns - 1, True, nxt_head[-1])
+    )
+    active = jnp.logical_not(head & nxt_head)
+    nactive = lax.psum(jnp.sum(active.astype(jnp.int32)), AXIS)
+
+    # route back: (pos_s, rank) is a permutation of [0, n); the 2-wide
+    # merge-split network lands pos range [i*S, (i+1)*S) on shard i sorted,
+    # so the values column is the pos-ordered rank shard
+    _, rank_back = _merge_split_sort([pos_s, new_rank_s], 1, ns, sid)
+    return rank_back, nactive
+
+
+@functools.lru_cache(maxsize=64)
+def _make_init(mesh: Mesh, S: int, n: int, sentinel: str):
+    """Seed ranks: positional rank of the packed order-3 key at each pos.
+
+    The 2-symbol halo comes from the ring neighbor; ranking runs through the
+    shared merge-split machinery (no global-array op anywhere).
+    """
+    ns = mesh.shape[AXIS]
+    pad_val = np.int32(0 if sentinel == SENT_SMALL else 511)
+
+    def init_fn(data_shard):
+        sid = lax.axis_index(AXIS)
+        ext = data_shard.astype(jnp.int32) + 1
+        halo = lax.ppermute(ext[:2], AXIS, _rot(ns, 1))
+        halo = jnp.where(sid == ns - 1, jnp.full((2,), pad_val, jnp.int32), halo)
+        extp = jnp.concatenate([ext, halo])
+        packed = extp[:S] * (512 * 512) + extp[1 : S + 1] * 512 + extp[2 : S + 2]
+        pos = sid * S + lax.iota(jnp.int32, S)
+        return _slot_ranks((packed,), pos, S, ns, n, sid)
 
     return jax.jit(
-        shard_map(
-            round_fn,
-            mesh=mesh,
-            in_specs=(P(AXIS), P()),
-            out_specs=(P(AXIS), P(), P()),
-        )
+        shard_map(init_fn, mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS), P()))
     )
 
 
-def _make_init(mesh: Mesh, S: int, n: int, sentinel: str):
-    """Seed positional ranks of the order-3 packed keys.
+@functools.lru_cache(maxsize=256)
+def _make_round(mesh: Mesh, S: int, n: int, k: int, sentinel: str):
+    """One distributed quadrupling round at static context k."""
+    ns = mesh.shape[AXIS]
+    off_end = np.int32(-1) if sentinel == SENT_SMALL else np.int32(n + 1)
 
-    The packing is a shard_map with a 2-symbol ppermute halo; the dense
-    positional ranking of the packed keys runs as a plain jitted op over the
-    sharded array — XLA SPMD inserts the collectives for the one global
-    sort.  (Routing by r0 // S in the rounds needs *positional* ranks to be
-    balanced, so this global normalization happens exactly once.)"""
-    nshards = mesh.shape[AXIS]
-    pad_val = np.int32(0 if sentinel == SENT_SMALL else 511)
+    def round_fn(rank_shard):
+        sid = lax.axis_index(AXIS)
+        pos = sid * S + lax.iota(jnp.int32, S)
 
-    def pack_fn(data_shard):
-        shard_id = lax.axis_index(AXIS)
-        ext = data_shard.astype(jnp.int32) + 1
-        halo = lax.ppermute(ext[:2], AXIS, _ring(nshards, -1))
-        halo = jnp.where(
-            shard_id == nshards - 1, jnp.full((2,), pad_val, jnp.int32), halo
-        )
-        extp = jnp.concatenate([ext, halo])
-        return extp[:S] * (512 * 512) + extp[1 : S + 1] * 512 + extp[2 : S + 2]
+        def shifted(j):
+            if j * k >= n:  # whole window off-end (static)
+                return jnp.full((S,), off_end, jnp.int32)
+            w = _halo_window(rank_shard, j * k, S, ns)
+            return jnp.where(pos + j * k < n, w, off_end)
 
-    pack = shard_map(pack_fn, mesh=mesh, in_specs=(P(AXIS),), out_specs=P(AXIS))
-    spec = NamedSharding(mesh, P(AXIS))
+        keys = (rank_shard, shifted(1), shifted(2), shifted(3))
+        return _slot_ranks(keys, pos, S, ns, n, sid)
 
-    @functools.partial(jax.jit, out_shardings=(spec, None))
-    def init_fn(data):
-        packed = pack(data)
-        iota = lax.iota(jnp.int32, n)
-        k_s, i_s = lax.sort((packed, iota), num_keys=1)
-        head = jnp.concatenate(
-            [jnp.ones((1,), jnp.bool_), k_s[1:] != k_s[:-1]]
-        )
-        pos_rank = lax.cummax(jnp.where(head, iota, 0))
-        _, rank = lax.sort((i_s, pos_rank), num_keys=1)
-        nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
-        nactive = jnp.sum(jnp.logical_not(head & nxt).astype(jnp.int32))
-        return rank, nactive
-
-    return init_fn
+    return jax.jit(
+        shard_map(round_fn, mesh=mesh, in_specs=(P(AXIS),), out_specs=(P(AXIS), P()))
+    )
 
 
 def suffix_array_sharded(data, mesh: Mesh, sentinel: str = SENT_SMALL) -> np.ndarray:
     """Distributed suffix array over mesh axis 'sp'.
 
-    Skeleton limitations (documented, detected at runtime): the r0-range
-    partitioner assumes no tie group outgrows a destination shard's
-    capacity; a capacity overflow raises instead of silently corrupting.
-    ``n`` must divide evenly by the shard count (the block container pads).
+    Exact for every input (incl. shard-spanning tie groups: all-zeros,
+    Fibonacci strings — the Gauntlet pathologies).  ``n`` must divide
+    evenly by the shard count (the block container pads); the shard count
+    must be a power of two (TPU meshes are).
     """
     arr = np.asarray(data, np.uint8)
     n = len(arr)
-    nshards = mesh.shape[AXIS]
-    if n % nshards:
-        raise ValueError(f"n={n} not divisible by {nshards} shards")
-    S = n // nshards
+    ns = mesh.shape[AXIS]
+    if n % ns:
+        raise ValueError(f"n={n} not divisible by {ns} shards")
+    if ns & (ns - 1):
+        raise ValueError(f"shard count {ns} must be a power of two")
+    S = n // ns
 
-    data_dev = jax.device_put(
-        jnp.asarray(arr), NamedSharding(mesh, P(AXIS))
-    )
-    init = _make_init(mesh, S, n, sentinel)
-    rnd = _make_round(mesh, S, n, sentinel)
+    data_dev = jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P(AXIS)))
+    prev_rank, prev_na = _make_init(mesh, S, n, sentinel)(data_dev)
 
-    rank, nactive = init(data_dev)
-    nactive = int(nactive)
+    # dispatch-ahead termination: round k is enqueued BEFORE round k/4's
+    # surviving-tie count is fetched, so the host sync overlaps device
+    # execution (at most one speculative round runs past resolution)
     k = 3
-    while nactive > 0 and k < n:
-        rank, na, dropped = rnd(rank, jnp.int32(k))
-        if int(dropped):
-            raise RuntimeError(
-                "megablock routing capacity overflow (tie group larger than "
-                "a shard); increase shards or use the single-chip fast path"
-            )
-        nactive = int(na)
+    while k < 4 * n:
+        cur = _make_round(mesh, S, n, k, sentinel)(prev_rank)
+        if int(prev_na) == 0:
+            break
+        prev_rank, prev_na = cur
         k *= 4
-    r = np.asarray(rank)
+
+    r = np.asarray(prev_rank)
+    if np.unique(r).size != n:  # pragma: no cover - permutation invariant
+        raise AssertionError("megablock ranks did not resolve to a permutation")
     sa = np.zeros(n, np.int32)
     sa[r] = np.arange(n, dtype=np.int32)
     return sa

@@ -105,6 +105,20 @@ def main():
             return L2, base2, L2.astype(jnp.int32).sum() + base2.sum()
 
         metric = f"forward_bwt_blocks{block >> 20}MiB_{name}_{size >> 20}MiB"
+    elif impl == "a6":
+        # full a6 pipeline, byte config (uniform-width symbol fast path):
+        # recode + suffix sort + payload emission (VERDICT r1 item 6)
+        from archon_tpu.core.a6 import _a6_symbol_transform
+
+        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+        code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
+
+        @jax.jit
+        def step(x):
+            out, base = _a6_symbol_transform(x, code_map)
+            return out, base, out.astype(jnp.int32).sum() + base
+
+        metric = f"a6_byte_bwt_{name}_{size >> 20}MiB"
     else:
         from archon_tpu.core.bwt import bwt_forward, bwt_forward_fast
         from archon_tpu.core.fast2 import bwt_forward_v2, bwt_v3
