@@ -62,24 +62,73 @@ def lf_successor(
     return starts[Li] + occ
 
 
+_WALK_K = 4096  # parallel chain count of the blocked walk
+
+
+def _compose_perm(g: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """c[i] = g[h[i]] for a permutation ``h`` via two sorts.
+
+    PERF.md rule 1: a random n-gather costs ~2.5x what two sorts do on this
+    hardware (516ms vs 2x105ms at 2^25), so the jump-table squaring is
+    phrased as sort(h) -> h^-1, then scatter-by-sort of g onto h^-1."""
+    n = h.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    _, inv = lax.sort((h, iota), num_keys=1)  # inv[j] = h^-1(j)
+    _, c = lax.sort((inv, g), num_keys=1)  # c[inv[j]] = g[j]
+    return c
+
+
 def pointer_walk(L: jnp.ndarray, P: jnp.ndarray, base: jnp.ndarray) -> jnp.ndarray:
-    """Emit L[base], L[P[base]], ... via pointer doubling (log n rounds of
-    jump-table squaring) — the parallel answer to the serial chain
-    (a6/src/bwt.c:473-478)."""
+    """Emit L[base], L[P[base]], ... — the parallel answer to the serial
+    chain (a6/src/bwt.c:473-478).
+
+    Blocked cycle walk: square the jump table only up to P^K (log2(K)
+    sort-compositions instead of log2(n) full-width random gathers), seed K
+    equally-spaced-along-the-cycle chain heads from the doubling prefix,
+    then walk all K chains in lockstep — n/K fori steps of two K-sized
+    gathers, filling the output K cells per step.  Replaces round-1's full
+    jump-table squaring (VERDICT r1 weak #5)."""
     n = L.shape[0]
-    rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 0
-    pos = jnp.zeros((n,), jnp.int32).at[0].set(base)
+    if n <= 2 * _WALK_K:
+        # small blocks: plain doubling, gathers are cheap at this size
+        rounds = max(1, math.ceil(math.log2(n))) if n > 1 else 0
+        pos = jnp.zeros((n,), jnp.int32).at[0].set(base)
+        filled = 1
+        jump = P
+        for _ in range(rounds):
+            take = min(filled, n - filled)
+            if take > 0:
+                ext = jump[lax.dynamic_slice(pos, (0,), (filled,))][:take]
+                pos = lax.dynamic_update_slice(pos, ext, (filled,))
+                filled += take
+            if filled < n:
+                jump = jump[jump]
+        return L[pos]
+
+    k = _WALK_K
+    pos = jnp.zeros((k,), jnp.int32).at[0].set(base)
     filled = 1
     jump = P
-    for _ in range(rounds):
-        take = min(filled, n - filled)
-        if take > 0:
-            ext = jump[lax.dynamic_slice(pos, (0,), (filled,))][:take]
-            pos = lax.dynamic_update_slice(pos, ext, (filled,))
-            filled += take
-        if filled < n:
-            jump = jump[jump]
-    return L[pos]
+    while filled < k:
+        ext = jump[lax.dynamic_slice(pos, (0,), (filled,))]
+        pos = lax.dynamic_update_slice(pos, ext, (filled,))
+        filled *= 2
+        jump = _compose_perm(jump, jump)
+    # jump is now P^K; pos holds the first K walk positions
+
+    T = -(-n // k)
+    out0 = jnp.zeros((T, k), L.dtype)
+
+    def step(t, carry):
+        out, p = carry
+        out = lax.dynamic_update_slice(out, L[p][None, :], (t, 0))
+        return out, jump[p]
+
+    out, _ = lax.fori_loop(0, T, step, (out0, pos))
+    # cell (t, j) holds walk step t*K + j (chain j at t applications of
+    # P^K to P^j(base)), so the row-major flatten is exactly walk order;
+    # steps beyond n wrap the cycle and are sliced off
+    return out.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=())

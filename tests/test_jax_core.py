@@ -67,6 +67,19 @@ def test_inverse_matches_golden_and_roundtrips(sentinel):
         assert rt.tolist() == arr[::-1].tolist()
 
 
+@pytest.mark.parametrize("sentinel", [SENT_SMALL, SENT_LARGE])
+def test_inverse_blocked_walk_large(sentinel):
+    """n > 2*_WALK_K exercises the blocked K-chain cycle walk (the small-n
+    branch is plain doubling); exactness vs golden on a 20 KiB block."""
+    from archon_tpu.utils.corpus import text_like
+
+    arr = np.frombuffer(text_like(20011, seed=13), np.uint8)
+    L_g, base_g = golden.bwt_forward(arr, sentinel)
+    got = np.asarray(bwt_inverse(jnp.asarray(L_g), jnp.int32(base_g), sentinel))
+    want = golden.bwt_inverse(L_g, base_g, sentinel)
+    assert got.tolist() == want.tolist()
+
+
 def test_formats_match_golden():
     for data in CASES[:25]:
         assert formats.encode(data, "a4") == golden.a4_encode(data)
