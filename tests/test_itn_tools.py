@@ -44,9 +44,25 @@ def test_tools_run():
     bps = tools.huffman_bits_per_sym(data)
     assert 1.0 < bps < 8.0
     vol = tools.reorder_direct_volume(data)
-    assert 0 < vol["it2"] <= vol["it1"] <= 1
-    plan = tools.route_search(3)
-    assert sorted(plan) == list(range(8))
+    # all 7 reference estimator variants (reorder.c:346-359), sane ranges
+    assert set(vol) == {"it1", "it1x", "it1y", "it1s", "it12x", "it2", "it2x1"}
+    assert 0 < vol["it2"]["flat"] <= vol["it1"]["flat"] <= 1
+    for v in vol.values():
+        assert 0 <= v["flat"] <= 1 and v["logc"] >= 0
+    # the "extreme" greedy variants must not sort more than plain IT-1
+    assert vol["it1x"]["flat"] <= vol["it1"]["flat"] + 1e-9
+
+    res = tools.route_search(3)
+    # the brute force must find a plan cheaper than sorting everything (1.0)
+    assert 0 < res["volume"] < 1.0
+    assert res["plan"], "plan must be non-empty"
+    # every derivation source must be a valid group id for ORDER=3
+    for g, choice in res["plan"].items():
+        assert 1 <= g < 16
+        if choice != "DIRECT":
+            dep_type, srcs = choice
+            assert dep_type in ("SUFFIX", "PREFIX", "PERIOD")
+            assert all(1 <= s < 16 for s in srcs)
 
 
 def test_varadix_orders():
