@@ -6,25 +6,26 @@ Prints ONE JSON line:
 vs_baseline is measured against the 500 MB/s/chip north-star target from
 BASELINE.md (the reference publishes no absolute numbers).
 
-Two hard lessons from round 1 (BENCH_r01.json: rc=124, parsed=null) are
-baked in:
+Hard lessons from round 1 (BENCH_r01.json: rc=124, parsed=null) baked in:
 
 1. **Hard deadline.**  A watchdog thread prints the best result measured so
    far and exits the process at BENCH_BUDGET seconds (default 450) no
    matter what the XLA/relay stack is doing.  A partial number always beats
    a timeout.
-2. **Persistent compilation cache.**  On this relay a cold compile of the
-   production program costs several *minutes*; the repo-local cache at
-   .jax_cache/ (written on first successful run, hit on every later one)
-   makes the driver's end-of-round run execute-only.  Keep the cache warm:
-   any change to the measured program's HLO must be followed by one full
-   bench.py run before the round ends.
+2. **Staged escalation.**  Stage 1 measures the whole-file v3 sorter at a
+   modest size (known ~100 s compile on this relay) so a number exists
+   early; stage 2 re-measures at full size; stage 3 runs the fused batched
+   block program ONLY if a marker file proves it has compiled on this relay
+   before (it did not, in >55 min, as of round 2 — see docs/PERF.md).
+3. **Persistent compilation cache.**  The repo-local cache at .jax_cache/
+   (written on first successful run, hit on every later one) makes the
+   driver's end-of-round run execute-only.  Keep the cache warm: any change
+   to a measured program's HLO must be followed by one full bench.py run
+   before the round ends.
 
-Default path is the production block-streaming mode (BENCH_IMPL=blocks):
-4 MiB blocks transformed in one fused batched jit — the same framing the
-reference family ships (x1 hardcodes 4 MiB blocks, ArchonX1.c:19; x2/x3
-take -b) and the mode `archon e` uses.  Whole-file single-block modes are
-selectable via BENCH_IMPL=v3|v2|fast|plain; block size via BENCH_BLOCK.
+BENCH_IMPL forces a single-stage run: v3|v2|fast|plain|a6|blocks.
+BENCH_SIZE caps the stage-2 size (default 64 MiB); BENCH_BLOCK the block
+size for blocks mode (default x1's 4 MiB, ArchonX1.c:19).
 """
 
 import json
@@ -37,33 +38,84 @@ import numpy as np
 
 BASELINE_MBPS = 500.0
 _REPO = os.path.dirname(os.path.abspath(__file__))
+_BLOCKS_MARKER = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
 
-# state shared with the watchdog: "best" holds the most recent complete
-# result dict; "printed" flips once the main path has emitted its line
+# state shared with the watchdog: "best" holds the highest-throughput
+# complete result dict; "printed" flips once a line has been emitted
 _STATE = {"best": None, "printed": False}
 _LOCK = threading.Lock()
 
 
-def _emit(result: dict) -> None:
+def _record(result: dict) -> None:
+    print(f"[bench] {json.dumps(result)}", file=sys.stderr, flush=True)
+    with _LOCK:
+        best = _STATE["best"]
+        if best is None or result["value"] >= best["value"]:
+            _STATE["best"] = result
+
+
+def _emit() -> None:
     with _LOCK:
         if _STATE["printed"]:
             return
         _STATE["printed"] = True
-    print(json.dumps(result), flush=True)
+        best = _STATE["best"]
+    if best is not None:
+        print(json.dumps(best), flush=True)
 
 
 def _watchdog(deadline: float) -> None:
     time.sleep(max(0.0, deadline - time.time()))
     with _LOCK:
-        best = _STATE["best"]
-        if _STATE["printed"]:
-            return
-        _STATE["printed"] = True
-    if best is not None:
-        print(json.dumps(best), flush=True)
-        sys.stdout.flush()
+        have = _STATE["best"] is not None and not _STATE["printed"]
+    if have:
+        _emit()
         os._exit(0)
-    os._exit(3)
+    if not _STATE["printed"]:
+        os._exit(3)
+
+
+def _measure(step, arr, size, metric, deadline, iters=3, extra=None):
+    """Compile + time one jitted step; record best-so-far after every iter."""
+    t_c = time.time()
+    out = step(arr)
+    int(out[-1])  # scalar fetch forces completion (relay block_until_ready lies)
+    compile_s = round(time.time() - t_c, 1)
+
+    times = []
+    for _ in range(max(1, iters)):
+        t0 = time.perf_counter()
+        out = step(arr)
+        int(out[-1])
+        times.append(time.perf_counter() - t0)
+        mbps = size / 1e6 / min(times)
+        res = {
+            "metric": metric,
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(mbps / BASELINE_MBPS, 4),
+            "compile_s": compile_s,
+            "iters": len(times),
+        }
+        if extra:
+            res.update(extra)
+        _record(res)
+        if time.time() > deadline - 1.5 * times[-1]:
+            break
+    return out
+
+
+def _v3_step(fwd):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(x):
+        out = fwd(x, "small")
+        L, base = out[0], out[1]
+        return L, base, L.astype(jnp.int32).sum() + base
+
+    return step
 
 
 def main():
@@ -71,46 +123,76 @@ def main():
     deadline = time.time() + budget
     threading.Thread(target=_watchdog, args=(deadline,), daemon=True).start()
 
-    size = int(os.environ.get("BENCH_SIZE", 1 << 26))  # 64 MiB default
+    size_cap = int(os.environ.get("BENCH_SIZE", 1 << 26))  # 64 MiB default
     iters = int(os.environ.get("BENCH_ITERS", 3))
-    impl = os.environ.get("BENCH_IMPL", "blocks")
-    block = int(os.environ.get("BENCH_BLOCK", 1 << 22))  # x1's 4 MiB
+    impl = os.environ.get("BENCH_IMPL", "")  # empty = staged auto
+    block = int(os.environ.get("BENCH_BLOCK", 1 << 22))
 
-    # repo-local persistent compilation cache (must be set before the
-    # backend initializes); see module docstring
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+    # repo-local persistent compilation cache.  NOTE: the env var
+    # JAX_COMPILATION_CACHE_DIR is IGNORED by this jax build — only the
+    # explicit config update initializes the cache (verified: env-var runs
+    # log "cache is disabled/not initialized").
     import jax
 
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_enable_compilation_cache", True)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     import jax.numpy as jnp
 
     from archon_tpu.utils.corpus import load_or_synthesize
 
-    name, data = load_or_synthesize(size)
+    name, data = load_or_synthesize(size_cap)
 
-    if impl == "blocks":
+    def run_v3(size):
+        from archon_tpu.core.fast2 import bwt_v3
+
+        arr = jnp.asarray(np.frombuffer(data[:size], dtype=np.uint8))
+        return _measure(
+            _v3_step(bwt_v3), arr, size,
+            f"forward_bwt_v3_{name}_{size >> 20}MiB", deadline, iters,
+        )
+
+    def run_single(which, size):
+        from archon_tpu.core.bwt import bwt_forward, bwt_forward_fast
+        from archon_tpu.core.fast2 import bwt_forward_v2, bwt_v3
+
+        fwd = {"v3": bwt_v3, "v2": bwt_forward_v2,
+               "fast": bwt_forward_fast, "plain": bwt_forward}[which]
+        arr = jnp.asarray(np.frombuffer(data[:size], dtype=np.uint8))
+        return _measure(
+            _v3_step(fwd), arr, size,
+            f"forward_bwt_{which}_{name}_{size >> 20}MiB", deadline, iters,
+        )
+
+    def run_blocks(size):
         from archon_tpu.core.batched import bwt_batched_v3
 
         nblocks = max(1, size // block)
-        block = min(block, size)
-        size = nblocks * block  # throughput counts processed bytes only
-        arr = jnp.asarray(
-            np.frombuffer(data[:size], np.uint8).reshape(nblocks, block)
-        )
+        bsz = min(block, size)
+        size = nblocks * bsz
+        arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
 
         @jax.jit
         def step(x):
             L2, base2 = bwt_batched_v3(x, "small")
             return L2, base2, L2.astype(jnp.int32).sum() + base2.sum()
 
-        metric = f"forward_bwt_blocks{block >> 20}MiB_{name}_{size >> 20}MiB"
-    elif impl == "a6":
-        # full a6 pipeline, byte config (uniform-width symbol fast path):
-        # recode + suffix sort + payload emission (VERDICT r1 item 6)
+        out = _measure(
+            step, arr, size,
+            f"forward_bwt_blocks{bsz >> 20}MiB_{name}_{size >> 20}MiB",
+            deadline, iters,
+        )
+        # the program compiled at this (nblocks, bsz): leave the marker
+        os.makedirs(os.path.dirname(_BLOCKS_MARKER), exist_ok=True)
+        with open(_BLOCKS_MARKER, "w") as fh:
+            json.dump({"nblocks": nblocks, "block": bsz}, fh)
+        return out
+
+    def run_a6(size):
         from archon_tpu.core.a6 import _a6_symbol_transform
 
-        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+        arr = jnp.asarray(np.frombuffer(data[:size], dtype=np.uint8))
         code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
 
         @jax.jit
@@ -118,69 +200,56 @@ def main():
             out, base = _a6_symbol_transform(x, code_map)
             return out, base, out.astype(jnp.int32).sum() + base
 
-        metric = f"a6_byte_bwt_{name}_{size >> 20}MiB"
+        return _measure(
+            step, arr, size, f"a6_byte_bwt_{name}_{size >> 20}MiB",
+            deadline, iters,
+        )
+
+    out = None
+    if impl == "blocks":
+        out = run_blocks(size_cap)
+    elif impl == "a6":
+        out = run_a6(size_cap)
+    elif impl in ("v3", "v2", "fast", "plain"):
+        out = run_single(impl, size_cap)
     else:
-        from archon_tpu.core.bwt import bwt_forward, bwt_forward_fast
-        from archon_tpu.core.fast2 import bwt_forward_v2, bwt_v3
+        # staged auto mode (the driver path)
+        stage1 = min(size_cap, 1 << 24)
+        out = run_v3(stage1)
+        if size_cap > stage1 and time.time() < deadline - 150:
+            out = run_v3(size_cap)
+        if os.path.exists(_BLOCKS_MARKER) and time.time() < deadline - 120:
+            try:
+                with open(_BLOCKS_MARKER) as fh:
+                    m = json.load(fh)
+                out = run_blocks(m["nblocks"] * m["block"]) or out
+            except Exception:
+                pass
 
-        fwd = {"v3": bwt_v3, "v2": bwt_forward_v2,
-               "fast": bwt_forward_fast, "plain": bwt_forward}[impl]
-        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
-
-        @jax.jit
-        def step(x):
-            out = fwd(x, "small")
-            L, base = out[0], out[1]
-            return L, base, L.astype(jnp.int32).sum() + base
-
-        metric = f"forward_bwt_{name}_{size >> 20}MiB"
-
-    # compile + warmup; scalar fetch forces completion (axon relay's
-    # block_until_ready returns early)
-    t_c = time.time()
-    L, base, chk = step(arr)
-    int(chk)
-    compile_s = round(time.time() - t_c, 1)
-
-    times = []
-    for _ in range(max(1, iters)):
-        t0 = time.perf_counter()
-        _, _, chk = step(arr)
-        int(chk)
-        times.append(time.perf_counter() - t0)
-        mbps = size / 1e6 / min(times)
-        with _LOCK:
-            _STATE["best"] = {
-                "metric": metric,
-                "value": round(mbps, 2),
-                "unit": "MB/s",
-                "vs_baseline": round(mbps / BASELINE_MBPS, 4),
-                "compile_s": compile_s,
-                "iters": len(times),
-            }
-        if time.time() > deadline - 1.5 * times[-1]:
-            break
-
-    result = dict(_STATE["best"])
-
-    # bonus metrics with leftover budget: host-native decode of the blocks
+    # bonus metric with leftover budget: host-native decode of the output
     # just produced (the reference ships decode timing too, a4/src/main.c:53)
     try:
-        if impl == "blocks" and time.time() < deadline - 20:
+        if out is not None and time.time() < deadline - 20:
             from archon_tpu import native
 
             if native.available():
-                Lh = np.asarray(L)
-                bh = np.asarray(base)
+                L = np.asarray(out[0])
+                base = np.asarray(out[1])
+                if L.ndim == 1:
+                    L, base = L[None, :], np.asarray([base])
                 t0 = time.perf_counter()
-                for b in range(Lh.shape[0]):
-                    native.unbwt(Lh[b], int(bh[b]), False)
+                for b in range(L.shape[0]):
+                    native.unbwt(L[b], int(base[b]), False)
                 dt = time.perf_counter() - t0
-                result["decode_native_mbps"] = round(size / 1e6 / dt, 2)
+                with _LOCK:
+                    if _STATE["best"] is not None:
+                        _STATE["best"]["decode_native_mbps"] = round(
+                            L.size / 1e6 / dt, 2
+                        )
     except Exception:
         pass
 
-    _emit(result)
+    _emit()
 
 
 if __name__ == "__main__":
