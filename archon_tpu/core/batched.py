@@ -558,15 +558,22 @@ def _bwt_batched_v3_impl(data2: jnp.ndarray, sentinel: str, want_rank: bool):
     def _rank_placeholder():
         return jnp.zeros((B, 0), jnp.int32)
 
-    def emit_direct(args):
-        k, si, rs, ac, na, prev_s, G = args
-        base = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
-        rank = _invert_rows(si, rs) if want_rank else _rank_placeholder()
-        return prev_s, base, rank
+    # Inversion-free micro tail, run UNCONDITIONALLY (fixed ~tens of ms):
+    # when a block resolved inside the loop its extraction is all-pads and
+    # both micro rounds no-op; when every block's residue fits cap3 and the
+    # two rounds resolve it, the cheap emit below applies.  Flat structure
+    # on purpose — the earlier nested lax.cond tree (direct/micro/cascade)
+    # compiled fine piecewise but the composed program never returned from
+    # XLA on this backend (>55 min, twice); with one cond it compiles.
+    apos_m, ar0_m = _extract_actives_sorted2(si, rs, ac, na, cap3)
+    g = jnp.maximum(k // 4, 1)
+    pos1, r1m, _na1 = _micro_round2(G, g, apos_m, ar0_m, 4, 16, sentinel)
+    mpos, mr, mna = _micro_round2(G, g, pos1, r1m, 16, 64, sentinel)
+    micro_done = (jnp.max(na) <= cap3) & (jnp.max(mna) == 0)
 
-    def emit_with(pos, r, args):
+    def emit_micro(args):
         """Scatter-correct the carried payload at the refined actives."""
-        k, si, rs, ac, na, prev_s, G = args
+        k, si, rs, ac, na, prev_s, G, pos, r = args
         W = pos.shape[1]
         rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, W))
         valid = pos >= 0
@@ -592,78 +599,31 @@ def _bwt_batched_v3_impl(data2: jnp.ndarray, sentinel: str, want_rank: bool):
             rank = _rank_placeholder()
         return L, base, rank
 
-    def emit_narrowed(args):
-        k, si, rs, ac, na, prev_s, G = args
-        na0 = na
+    def cascade_path(args):
+        k, si, rs, ac, na, prev_s, G, pos, r = args
+        rank = _invert_rows(si, rs)
+        apos, ar0 = _compact_from_round2(si, rs, ac, cap1)
+        apos0 = apos  # entry actives: only these rows' slots can move
 
-        def run_micro(args):
-            k, si, rs, ac, na, prev_s, G = args
-            apos, ar0 = _extract_actives_sorted2(si, rs, ac, na, cap3)
-            g = k // 4
-            pos1, r1, na1 = _micro_round2(G, g, apos, ar0, 4, 16, sentinel)
-            return lax.cond(
-                jnp.max(na1) > 0,
-                lambda a: _micro_round2(G, g, a[0], a[1], 16, 64, sentinel),
-                lambda a: (a[0], a[1], jnp.zeros((B,), jnp.int32)),
-                (pos1, r1),
-            )
-
-        def skip_micro(args):
-            z = jnp.zeros((B, cap3), jnp.int32)
-            return z - 1, z, jnp.ones((B,), jnp.int32)
-
-        mpos, mr, mna = lax.cond(
-            jnp.max(na0) <= cap3, run_micro, skip_micro, args
+        k, rank, na2 = _narrow_cascade2(
+            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
         )
 
-        def cascade_path(args):
-            k, si, rs, ac, na, prev_s, G = args
-            rank = _invert_rows(si, rs)
-            apos, ar0 = _compact_from_round2(si, rs, ac, cap1)
-            apos0 = apos  # entry actives: only these rows' slots can move
-
-            k, rank, na2 = _narrow_cascade2(
-                rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
-            )
-
-            # scatter-correct only the entry actives per row (resolved
-            # suffixes' ranks never moved); width adapts to the entry-
-            # active count — see fast2.bwt_v3 for the cost analysis
-            def correct(width):
-                def f(L):
-                    ap = apos0[:, :width]
-                    rows = jnp.broadcast_to(
-                        lax.iota(jnp.int32, B)[:, None], (B, width)
-                    )
-                    safe0 = jnp.where(ap >= 0, ap, 0)
-                    final_r = jnp.where(
-                        ap >= 0, _take_rows(rank, safe0), jnp.int32(n)
-                    )
-                    corr = _take_rows(prev2, safe0)
-                    return L.at[rows, final_r].set(corr, mode="drop")
-
-                return f
-
-            L = lax.cond(
-                jnp.max(na0) <= cap3,
-                correct(min(cap3, cap1)),
-                correct(cap1),
-                prev_s,
-            )
-            return L, rank[:, 0], (rank if want_rank else _rank_placeholder())
-
-        return lax.cond(
-            jnp.max(mna) == 0,
-            lambda a: emit_with(mpos, mr, a),
-            cascade_path,
-            args,
+        # scatter-correct only the entry actives per row (resolved
+        # suffixes' ranks never moved)
+        rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, cap1))
+        safe0 = jnp.where(apos0 >= 0, apos0, 0)
+        final_r = jnp.where(
+            apos0 >= 0, _take_rows(rank, safe0), jnp.int32(n)
         )
+        L = prev_s.at[rows, final_r].set(_take_rows(prev2, safe0), mode="drop")
+        return L, rank[:, 0], (rank if want_rank else _rank_placeholder())
 
     return lax.cond(
-        jnp.max(na) == 0,
-        emit_direct,
-        emit_narrowed,
-        (k, si, rs, ac, na, prev_s, G),
+        micro_done,
+        emit_micro,
+        cascade_path,
+        (k, si, rs, ac, na, prev_s, G, mpos, mr),
     )
 
 

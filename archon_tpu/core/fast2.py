@@ -30,6 +30,7 @@ results are bit-identical (tested against the golden model and the v1 path).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +41,38 @@ from .doubling import SENT_LARGE, SENT_SMALL, _invert_permutation
 
 _BIG = jnp.int32(0x7FFFFFFF)
 _EXT_BASE = 512
+
+# Route the two hot full-width sorts (bootstrap + quadrupling round, 4 keys
+# + iota + prev payload) through the Pallas tiled merge sort
+# (ops/pallas_sort) instead of the sort HLO.  Read once at import: the jit
+# cache is keyed on shapes, not env, so a per-call switch could silently
+# reuse a stale trace.  "1" = compiled kernels (TPU), "interpret" = Pallas
+# interpreter (CPU tests).
+_PALLAS_SORT = os.environ.get("ARCHON_PALLAS_SORT", "0")
+
+
+def _sort_ctx(keys, iota, payloads):
+    """Lexicographic sort by (*keys, iota), permuting payloads along.
+
+    Equivalent to stable ``lax.sort((*keys, iota, *payloads),
+    num_keys=len(keys))``: iota is unique, so making it the last key (as the
+    unstable Pallas network requires for determinism) reproduces the stable
+    order exactly."""
+    ops = tuple(keys) + (iota,) + tuple(payloads)
+    if _PALLAS_SORT in ("1", "interpret"):
+        from ..ops.pallas_sort import sort_operands
+
+        nk = len(keys) + 1
+        cast = [x.astype(jnp.int32) for x in ops[nk:]]
+        outs = sort_operands(
+            ops[:nk] + tuple(cast),
+            num_keys=nk,
+            interpret=_PALLAS_SORT == "interpret",
+        )
+        return list(outs[: nk]) + [
+            o.astype(p.dtype) for o, p in zip(outs[nk:], payloads)
+        ]
+    return list(lax.sort(ops, num_keys=len(keys)))
 
 
 def _bootstrap_round(data: jnp.ndarray, sentinel: str):
@@ -391,8 +424,8 @@ def _bootstrap_sorted(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
     def key(j):
         return lax.slice(p27, (3 * j,), (3 * j + n,))
 
-    k0_s, k1_s, k2_s, k3_s, sorted_idx, prev_s = lax.sort(
-        (key(0), key(1), key(2), key(3), iota, prev), num_keys=4
+    k0_s, k1_s, k2_s, k3_s, sorted_idx, prev_s = _sort_ctx(
+        (key(0), key(1), key(2), key(3)), iota, (prev,)
     )
     head = jnp.concatenate(
         [
@@ -432,8 +465,8 @@ def _round_full_sorted(si, rs, prev, k, sentinel: str):
         return jnp.where(iota + j * k < n, sl, off_end)
 
     r1, r2, r3 = shifted(1), shifted(2), shifted(3)
-    r0_s, r1_s, r2_s, r3_s, sorted_idx, prev_s = lax.sort(
-        (rank, r1, r2, r3, iota, prev), num_keys=4
+    r0_s, r1_s, r2_s, r3_s, sorted_idx, prev_s = _sort_ctx(
+        (rank, r1, r2, r3), iota, (prev,)
     )
     head = jnp.concatenate(
         [
@@ -576,14 +609,21 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
         full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
     )
 
-    def emit_direct(args):
-        k, si, rs, ac, na, prev_s, G = args
-        base = jnp.argmax(si == 0).astype(jnp.int32)
-        return prev_s, base
+    # Inversion-free micro tail, run UNCONDITIONALLY (fixed ~tens of ms at
+    # 2^26; the common path for text anyway): blocks that resolved inside
+    # the loop extract all-pads and the micro rounds no-op.  Flat on
+    # purpose: the nested cond tree (direct/micro/cascade) made the batched
+    # twin of this program uncompilable on this backend (docs/PERF.md), and
+    # a single cond also cuts this program's own 460 s cold compile.
+    apos_m, ar0_m = _extract_actives_sorted(si, rs, ac, na, cap3)
+    g = jnp.maximum(k // 4, 1)
+    pos1, r1m, _na1 = _micro_round(G, g, apos_m, ar0_m, 4, 16, sentinel)
+    mpos, mr, mna = _micro_round(G, g, pos1, r1m, 16, 64, sentinel)
+    micro_done = (na <= cap3) & (mna == 0)
 
-    def emit_with(pos, r, args):
+    def emit_micro(args):
         """Scatter-correct the carried payload at the refined actives."""
-        k, si, rs, ac, na, prev_s, G = args
+        k, si, rs, ac, na, prev_s, G, pos, r = args
         valid = pos >= 0
         safe = jnp.where(valid, pos, 0)
         tgt = jnp.where(valid, r, jnp.int32(n))
@@ -595,65 +635,29 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
         )
         return L, base
 
-    def emit_narrowed(args):
-        k, si, rs, ac, na, prev_s, G = args
-        na0 = na
+    def cascade_path(args):
+        k, si, rs, ac, na, prev_s, G, pos, r = args
+        rank = _invert_permutation(si, rs)
+        apos, ar0 = _compact_from_round(si, rs, ac, cap1)
+        apos0 = apos  # entry actives: only their slots' payload can move
 
-        def run_micro(args):
-            k, si, rs, ac, na, prev_s, G = args
-            apos, ar0 = _extract_actives_sorted(si, rs, ac, na, cap3)
-            g = k // 4
-            pos1, r1, na1 = _micro_round(G, g, apos, ar0, 4, 16, sentinel)
-            return lax.cond(
-                na1 > 0,
-                lambda a: _micro_round(G, g, a[0], a[1], 16, 64, sentinel),
-                lambda a: (a[0], a[1], jnp.int32(0)),
-                (pos1, r1),
-            )
-
-        def skip_micro(args):
-            z = jnp.zeros((cap3,), jnp.int32)
-            return z - 1, z, jnp.int32(1)
-
-        mpos, mr, mna = lax.cond(na0 <= cap3, run_micro, skip_micro, args)
-
-        def cascade_path(args):
-            k, si, rs, ac, na, prev_s, G = args
-            rank = _invert_permutation(si, rs)
-            apos, ar0 = _compact_from_round(si, rs, ac, cap1)
-            apos0 = apos  # entry actives: only their slots' payload can move
-
-            k, rank, na2 = _narrow_cascade(
-                rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
-            )
-
-            # Resolved suffixes' ranks never moved (positional-rank
-            # invariant), so prev_s is correct everywhere except the entry
-            # actives: scatter-correct just those slots, width-adapted to
-            # the entry-active count.
-            def correct(width):
-                def f(L):
-                    ap = apos0[:width]
-                    safe0 = jnp.where(ap >= 0, ap, 0)
-                    final_r = jnp.where(ap >= 0, rank[safe0], jnp.int32(n))
-                    return L.at[final_r].set(prev[safe0], mode="drop")
-
-                return f
-
-            L = lax.cond(
-                na0 <= cap3, correct(min(cap3, cap1)), correct(cap1), prev_s
-            )
-            return L, rank[0]
-
-        return lax.cond(
-            mna == 0,
-            lambda a: emit_with(mpos, mr, a),
-            cascade_path,
-            args,
+        k, rank, na2 = _narrow_cascade(
+            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
         )
 
+        # Resolved suffixes' ranks never moved (positional-rank invariant),
+        # so prev_s is correct everywhere except the entry actives:
+        # scatter-correct just those slots.
+        safe0 = jnp.where(apos0 >= 0, apos0, 0)
+        final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
+        L = prev_s.at[final_r].set(prev[safe0], mode="drop")
+        return L, rank[0]
+
     return lax.cond(
-        na == 0, emit_direct, emit_narrowed, (k, si, rs, ac, na, prev_s, G)
+        micro_done,
+        emit_micro,
+        cascade_path,
+        (k, si, rs, ac, na, prev_s, G, mpos, mr),
     )
 
 

@@ -64,41 +64,64 @@ def _lex_gt(a_ops, b_ops, num_keys: int):
     return gt
 
 
-def _stage(ops, num_keys: int, j: int, desc_mask_fn):
-    """One compare-exchange stage at stride j over (R, 128) row-major ops.
+def _roll(x, shift: int, axis: int):
+    """Static circular roll that lowers on Mosaic (non-negative shifts only;
+    jnp.roll/lax.rev are unimplemented there) and stays jnp elsewhere."""
+    from jax.experimental.pallas import tpu as pltpu
 
-    desc_mask_fn(a_view_shape_iota) -> bool array marking descending pairs
-    (True = sort this pair descending).  Relies on a total order (never-equal
-    keys): swap = (a > b) XOR desc.
+    size = x.shape[axis]
+    return pltpu.roll(x, shift % size, axis)
+
+
+def _shift_flat(x, d: int, down: bool):
+    """Circular shift in row-major flattened order: out[i] = x[i +/- d].
+    Rows move with a sublane roll; sub-128 remainders move with a lane roll
+    plus a next/prev-row carry select (Mosaic has no flattened view)."""
+    R = x.shape[0]
+    q, rm = (d // 128) % R, d % 128
+    y = _roll(x, R - q, 0) if down else _roll(x, q, 0)
+    if rm == 0:
+        return y
+    lane = lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    if down:
+        yl = _roll(y, 128 - rm, 1)
+        carry = _roll(yl, R - 1, 0)  # next row's rotated values
+        return jnp.where(lane < 128 - rm, yl, carry)
+    yl = _roll(y, rm, 1)
+    carry = _roll(yl, 1, 0)  # previous row's rotated values
+    return jnp.where(lane >= rm, yl, carry)
+
+
+def _xor_stage(ops, num_keys: int, j: int, desc_mask_fn):
+    """Compare-exchange of XOR-partners (i, i^j), j a power of two, over
+    (R, 128) row-major operands.  Partner values arrive by roll (lane roll
+    for j < 128, sublane roll otherwise — XOR pairs never cross the axis
+    boundary, so the circular wrap only feeds lanes that ignore it).
+
+    desc_mask_fn(flat_iota) -> bool array marking descending pairs.
+    Relies on a total order (never-equal keys): swap = (a > b) XOR desc.
     """
     R = ops[0].shape[0]
+    fid = _flat_iota(R)
     if j >= 128:
         q = j // 128
-        view = lambda x: x.reshape(R // (2 * q), 2, q, 128)
-        unview = lambda x: x.reshape(R, 128)
-        a_ops = [view(x)[:, 0] for x in ops]
-        b_ops = [view(x)[:, 1] for x in ops]
-        fid_a = view(_flat_iota(R))[:, 0]
+        down = lambda x: _roll(x, R - q, 0)
+        up = lambda x: _roll(x, q, 0)
     else:
-        view = lambda x: x.reshape(R, 128 // (2 * j), 2, j)
-        unview = lambda x: x.reshape(R, 128)
-        a_ops = [view(x)[:, :, 0] for x in ops]
-        b_ops = [view(x)[:, :, 1] for x in ops]
-        fid_a = view(_flat_iota(R))[:, :, 0]
-
-    desc = desc_mask_fn(fid_a)
-    swap = _lex_gt(a_ops, b_ops, num_keys) ^ desc
-
-    out = []
-    for a, b in zip(a_ops, b_ops):
-        na = jnp.where(swap, b, a)
-        nb = jnp.where(swap, a, b)
-        if j >= 128:
-            st = jnp.stack([na, nb], axis=1)
-        else:
-            st = jnp.stack([na, nb], axis=2)
-        out.append(unview(st))
-    return out
+        down = lambda x: _roll(x, 128 - j, 1)
+        up = lambda x: _roll(x, j, 1)
+    is_low = (fid & j) == 0
+    lo_ops, hi_ops = [], []
+    for x in ops:
+        dn, u = down(x), up(x)
+        lo_ops.append(jnp.where(is_low, x, u))
+        hi_ops.append(jnp.where(is_low, dn, x))
+    desc = desc_mask_fn(fid)
+    swap = _lex_gt(lo_ops, hi_ops, num_keys) ^ desc
+    return [
+        jnp.where(swap, jnp.where(is_low, h, l), x)
+        for x, l, h in zip(ops, lo_ops, hi_ops)
+    ]
 
 
 def _bitonic_sort_stages(ops, num_keys: int, n_elems: int):
@@ -108,7 +131,7 @@ def _bitonic_sort_stages(ops, num_keys: int, n_elems: int):
         j = k // 2
         while j >= 1:
             kk = k  # capture
-            ops = _stage(
+            ops = _xor_stage(
                 ops, num_keys, j, lambda fid, kk=kk: (fid & kk) != 0
             )
             j //= 2
@@ -116,38 +139,33 @@ def _bitonic_sort_stages(ops, num_keys: int, n_elems: int):
     return ops
 
 
-def _bitonic_merge_stages(ops, num_keys: int, n_elems: int):
-    """Merge stages only: input halves ascending-sorted, first stage
-    compares i <-> n-1-i (the 'flip' network), then strides n/4 .. 1.
-    All pairs ascending."""
-    never = lambda fid: jnp.zeros_like(fid, dtype=jnp.bool_)
-    ops = _flip_stage(ops, num_keys, n_elems)
-    j = n_elems // 4
-    while j >= 1:
-        ops = _stage(ops, num_keys, j, never)
-        j //= 2
-    return ops
-
-
-def _flip_stage(ops, num_keys: int, n_elems: int):
-    """Compare-exchange x[i] <-> x[n-1-i] for i < n/2 (bitonic first merge
-    stage for two ascending halves), via axis reversal of the top half."""
+def _oem_merge_stages(ops, num_keys: int, n_elems: int):
+    """Batcher odd-even merge of two ascending halves of ``n_elems`` total
+    (no flip/reversal — lax.rev has no Mosaic lowering).  Stage 1 compares
+    (i, i + n/2) for i < n/2; each later stage d compares (i, i + d) for the
+    elements with bit d set (and their partners), all ascending."""
     R = ops[0].shape[0]
-    half = R // 2
-
-    def top_rev(x):
-        t = x[half:, :]
-        return t[::-1, ::-1]
-
-    a_ops = [x[:half, :] for x in ops]
-    b_ops = [top_rev(x) for x in ops]
-    swap = _lex_gt(a_ops, b_ops, num_keys)
-    out = []
-    for x, a, b in zip(ops, a_ops, b_ops):
-        na = jnp.where(swap, b, a)
-        nb = jnp.where(swap, a, b)
-        out.append(jnp.concatenate([na, nb[::-1, ::-1]], axis=0))
-    return out
+    fid = _flat_iota(R)
+    half = n_elems // 2
+    never = lambda fid: jnp.zeros_like(fid, dtype=jnp.bool_)
+    ops = _xor_stage(ops, num_keys, half, never)
+    d = half // 2
+    while d >= 1:
+        dn = [_shift_flat(x, d, down=True) for x in ops]
+        u = [_shift_flat(x, d, down=False) for x in ops]
+        is_low = (fid & d) != 0
+        active = jnp.where(
+            is_low, fid + d < n_elems, fid >= d
+        )
+        lo_ops = [jnp.where(is_low, x, uu) for x, uu in zip(ops, u)]
+        hi_ops = [jnp.where(is_low, dd, x) for x, dd in zip(ops, dn)]
+        swap = _lex_gt(lo_ops, hi_ops, num_keys) & active
+        ops = [
+            jnp.where(swap, jnp.where(is_low, dd, uu), x)
+            for x, dd, uu in zip(ops, dn, u)
+        ]
+        d //= 2
+    return ops
 
 
 def _lex_less_at(keys, num_keys: int, i, j):
@@ -271,7 +289,7 @@ def _merge_kernel(num_keys, n_ops, tile, *refs):
             av = jnp.where(a_keep, av, INF)
             bv = jnp.where(b_keep, bv, INF)
         ops.append(jnp.concatenate([av, bv], axis=0))
-    ops = _bitonic_merge_stages(ops, num_keys, 2 * tile)
+    ops = _oem_merge_stages(ops, num_keys, 2 * tile)
     for o, v in zip(outs, ops):
         o[:] = v[:R, :]
 
@@ -356,13 +374,13 @@ def _tile_sort_kernel(num_keys, n_ops, tile, *refs):
 def sort_tiles(operands, num_keys: int = 1, tile: int = T, interpret: bool = False):
     """Sort each contiguous ``tile``-element run of the operands
     independently.  Operands: equal-length 1D int32 arrays, length divisible
-    by ``tile`` (itself a multiple of 256, so every view in the compare
-    network stays 2D-tileable)."""
+    by ``tile`` (itself a multiple of 128: every exchange in the compare
+    network is a lane or sublane roll over (tile//128, 128) blocks)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = operands[0].shape[0]
-    assert n % tile == 0 and tile % 256 == 0, (n, tile)
+    assert n % tile == 0 and tile % 128 == 0, (n, tile)
     n_ops = len(operands)
     R = tile // 128
     grid = n // tile

@@ -226,20 +226,68 @@ def main():
             except Exception:
                 pass
 
-    # bonus metric with leftover budget: host-native decode of the output
-    # just produced (the reference ships decode timing too, a4/src/main.c:53)
+    # bonus metric with leftover budget: the reference a4 binary itself on
+    # the SAME data and host (single-core CPU, the hardware class it was
+    # written for) — the direct competitor number for vs_reference
+    try:
+        if time.time() < deadline - 30:
+            import pathlib
+            import subprocess
+
+            exe = "/tmp/archon-oracles/archon4"
+            if not os.path.exists(exe):
+                os.makedirs("/tmp/archon-oracles", exist_ok=True)
+                srcs = sorted(
+                    str(p) for p in pathlib.Path(
+                        "/root/reference/bwt/a4/src"
+                    ).glob("*.c")
+                )
+                subprocess.run(
+                    ["gcc", "-O2", "-DNDEBUG", "-o", exe] + srcs,
+                    check=True, capture_output=True, timeout=60,
+                )
+            ref_n = min(len(data), 1 << 24)
+            pathlib.Path("/tmp/bench_ref.in").write_bytes(data[:ref_n])
+            t0 = time.perf_counter()
+            subprocess.run(
+                [exe, "e", "/tmp/bench_ref.in", "/tmp/bench_ref.enc"],
+                check=True, capture_output=True, timeout=120,
+            )
+            ref_mbps = round(ref_n / 1e6 / (time.perf_counter() - t0), 2)
+            with _LOCK:
+                if _STATE["best"] is not None:
+                    _STATE["best"]["ref_a4_encode_mbps"] = ref_mbps
+                    _STATE["best"]["vs_reference"] = round(
+                        _STATE["best"]["value"] / ref_mbps, 2
+                    )
+    except Exception:
+        pass
+
+    # host-native decode of the output just produced (the reference ships
+    # decode timing too, a4/src/main.c:53)
     try:
         if out is not None and time.time() < deadline - 20:
             from archon_tpu import native
 
             if native.available():
+                from concurrent.futures import ThreadPoolExecutor
+
                 L = np.asarray(out[0])
                 base = np.asarray(out[1])
                 if L.ndim == 1:
                     L, base = L[None, :], np.asarray([base])
                 t0 = time.perf_counter()
-                for b in range(L.shape[0]):
-                    native.unbwt(L[b], int(base[b]), False)
+                # the native LF walk releases the GIL; blocks decode on all
+                # cores (same pooling as io.blocks.decode_container)
+                with ThreadPoolExecutor(
+                    max_workers=min(L.shape[0], os.cpu_count() or 1)
+                ) as ex:
+                    list(
+                        ex.map(
+                            lambda b: native.unbwt(L[b], int(base[b]), False),
+                            range(L.shape[0]),
+                        )
+                    )
                 dt = time.perf_counter() - t0
                 with _LOCK:
                     if _STATE["best"] is not None:

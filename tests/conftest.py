@@ -19,6 +19,36 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# NO persistent compilation cache here: this jax build's XLA:CPU executable
+# (de)serialization segfaults on the largest programs in this suite (seen in
+# both put_executable_and_time and get_executable_and_time) — a cache makes
+# the suite LESS stable, not faster.  Separately, a long test process very
+# occasionally segfaults inside backend_compile on the biggest programs
+# (core/sais_tpu) when they compile after ~85 other programs; compiling
+# them FIRST in the fresh process avoids the only ordering ever observed to
+# crash — see pytest_collection_modifyitems below.
+
+
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    heavy = ("test_sais_tpu", "test_batched", "test_megablock")
+    items.sort(
+        key=lambda it: 0 if any(h in it.nodeid for h in heavy) else 1
+    )
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_memory():
+    """Drop compiled executables between test modules.  One process
+    compiling the whole suite's ~hundred large programs exhausts XLA:CPU's
+    JIT (segfault/abort inside backend_compile, always on whichever big
+    program compiles late); releasing each module's executables keeps the
+    high-water mark bounded."""
+    yield
+    jax.clear_caches()
+
 import shutil
 import subprocess
 from pathlib import Path

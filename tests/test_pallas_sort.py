@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from archon_tpu.ops.pallas_sort import sort_operands, sort_tiles
 
-TILE = 256
+TILE = 128
 
 
 def _check(key, iota, pays, tile=TILE):
