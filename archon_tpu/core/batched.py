@@ -627,6 +627,110 @@ def _bwt_batched_v3_impl(data2: jnp.ndarray, sentinel: str, want_rank: bool):
     )
 
 
+def _micro_state(data2: jnp.ndarray, sentinel: str):
+    """Shared fast-path body: bootstrap -> full quadrupling rounds -> tile
+    extraction -> two inversion-free micro rounds.  Returns everything the
+    emitters need plus the per-row ``resolved`` mask (True iff that row's
+    residue fit the micro tail and fully refined).  Contains NO narrowing
+    cascade and NO lax.cond — this is the program that must compile on the
+    relay (the composed cascade+cond graph did not, in >55 min, twice;
+    docs/PERF.md)."""
+    B, n = data2.shape
+    cap3 = min(n, 4096)
+    prev2 = jnp.roll(data2, 1, axis=1)
+    si, rs, ac, na, prev_s = _bootstrap_sorted2(data2, prev2, sentinel)
+    G0 = _trigram_keys2(data2, sentinel)[:, :n]
+
+    def full_cond(state):
+        k, si, rs, ac, na, prev_s, G = state
+        return (jnp.max(na) * 16 > n) & (jnp.max(na) > 0) & (k < n)
+
+    def full_body(state):
+        k, si, rs, ac, na, prev_s, G = state
+        si, rs, ac, na, prev_s, rank = _round_full_sorted2(
+            si, rs, prev2, k, sentinel
+        )
+        return k * 4, si, rs, ac, na, prev_s, rank
+
+    k, si, rs, ac, na, prev_s, G = lax.while_loop(
+        full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
+    )
+
+    apos_m, ar0_m = _extract_actives_sorted2(si, rs, ac, na, cap3)
+    g = jnp.maximum(k // 4, 1)
+    pos1, r1m, _na1 = _micro_round2(G, g, apos_m, ar0_m, 4, 16, sentinel)
+    mpos, mr, mna = _micro_round2(G, g, pos1, r1m, 16, 64, sentinel)
+    # per-row: extraction is only faithful when that row's actives fit cap3,
+    # and the row is done only when its own micro residue emptied
+    resolved = (na <= cap3) & (mna == 0)
+    return prev2, si, rs, prev_s, mpos, mr, resolved
+
+
+def _emit_micro2(prev2, si, rs, prev_s, pos, r):
+    """Scatter-correct the carried payload at the refined actives; compute
+    per-row base.  Valid only for rows whose ``resolved`` flag is True."""
+    B, n = si.shape
+    W = pos.shape[1]
+    rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, W))
+    valid = pos >= 0
+    safe = jnp.where(valid, pos, 0)
+    tgt = jnp.where(valid, r, jnp.int32(n))
+    L = prev_s.at[rows, tgt].set(_take_rows(prev2, safe), mode="drop")
+    b_slot = jnp.argmax(si == 0, axis=1).astype(jnp.int32)
+    r_pos0 = jnp.take_along_axis(rs, b_slot[:, None], axis=1)[:, 0]
+    base = jnp.maximum(
+        r_pos0,
+        jnp.max(jnp.where(valid & (pos == 0), r, jnp.int32(-1)), axis=1),
+    )
+    return L, base
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_batched_micro(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Block-parallel forward BWT, fast path only: (L2, base2, resolved2).
+
+    The production program for the block container (final/x1/ArchonX1.c:53-60
+    block loop): identical math to ``bwt_batched_v3`` up to the micro tail,
+    but the narrowing cascade — needed only for >4096-active or >16k-deep
+    residues, which real text never produces — is NOT in the graph.  Rows
+    with ``resolved2[b] == False`` carry garbage in L2/base2 and must be
+    recomputed by the caller (io.blocks re-dispatches them through the 1D
+    cascade path).  Splitting the rare path out keeps this XLA program small
+    enough for the relay compiler."""
+    B, n = data2.shape
+    if n <= 1:
+        return data2, jnp.zeros((B,), jnp.int32), jnp.ones((B,), jnp.bool_)
+    prev2, si, rs, prev_s, pos, r, resolved = _micro_state(data2, sentinel)
+    L, base = _emit_micro2(prev2, si, rs, prev_s, pos, r)
+    return L, base, resolved
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_batched_micro_certified(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
+    """Fast path with the always-on per-block LF certificate compiled in
+    (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23 VERIFY=VF_SORT): returns
+    (L2, base2, ok2, resolved2).  ok2 is meaningful only where resolved2."""
+    B, n = data2.shape
+    if n <= 1:
+        return (
+            data2,
+            jnp.zeros((B,), jnp.int32),
+            jnp.ones((B,), jnp.bool_),
+            jnp.ones((B,), jnp.bool_),
+        )
+    prev2, si, rs, prev_s, pos, r, resolved = _micro_state(data2, sentinel)
+    L, base = _emit_micro2(prev2, si, rs, prev_s, pos, r)
+    W = pos.shape[1]
+    rows = jnp.broadcast_to(lax.iota(jnp.int32, B)[:, None], (B, W))
+    valid = pos >= 0
+    rank = _invert_rows(si, rs)
+    rank = rank.at[rows, jnp.where(valid, pos, jnp.int32(n))].set(
+        jnp.where(valid, r, 0), mode="drop"
+    )
+    ok = verify_bwt_batched(data2, rank, L, base, sentinel)
+    return L, base, ok, resolved
+
+
 @functools.partial(jax.jit, static_argnames=("sentinel",))
 def bwt_batched_v3(data2: jnp.ndarray, sentinel: str = SENT_SMALL):
     """Block-parallel forward BWT, v3 structure: returns (L2, base2).

@@ -34,14 +34,41 @@ GEN_NAMES = {v: k for k, v in GENERATIONS.items()}
 DEFAULT_BLOCK = 1 << 22  # 4 MiB, the x1 historical default (ArchonX1.c:19)
 
 
+def _fallback_row(row: np.ndarray, sentinel: str, verify: bool):
+    """Recompute one block through the 1D cascade path (core.fast2.bwt_v3
+    territory) — the rare-residue escape hatch for rows the fast batched
+    program could not resolve (pathological >4096-active or >16k-deep ties,
+    e.g. Gauntlet-class periodicity)."""
+    import jax.numpy as jnp
+
+    from ..core.batched import verify_bwt_batched
+    from ..core.fast2 import bwt_forward_v2
+
+    arr = jnp.asarray(row)
+    L, base, rank = bwt_forward_v2(arr, sentinel)
+    if verify:
+        ok = verify_bwt_batched(
+            arr[None], rank[None], L[None], base[None], sentinel
+        )
+        if not bool(np.asarray(ok)[0]):
+            raise AssertionError(
+                "BWT verification failed on fallback block (internal error)"
+            )
+    return np.asarray(L), int(base)
+
+
 def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True):
     """Transform blocks, batching equal-length runs through the dp pipeline.
 
     ``verify=True`` (default) runs the per-block LF certificate on device —
     the production container keeps verification always-on exactly like the
-    reference binaries do (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23)."""
+    reference binaries do (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23).
+
+    The device program is the cascade-free fast path
+    (core.batched.bwt_batched_micro*): rows it reports unresolved — real
+    text never does — are recomputed through the 1D cascade pipeline."""
     from ..core.doubling import SENT_SMALL, SENT_LARGE
-    from ..parallel.blocks import bwt_blocks, bwt_blocks_certified
+    from ..parallel.blocks import bwt_blocks_micro, bwt_blocks_micro_certified
     import jax.numpy as jnp
 
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
@@ -59,19 +86,26 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True):
             [np.frombuffer(b[::-1], np.uint8) for b in blocks[i:j]]
         )
         if verify:
-            L, base, ok = bwt_blocks_certified(jnp.asarray(batch), sentinel)
-            ok = np.asarray(ok)
-            if not ok.all():
-                bad = [i + t for t in np.nonzero(~ok)[0].tolist()]
-                raise AssertionError(
-                    f"BWT verification failed for block(s) {bad} (internal error)"
-                )
+            L, base, ok, resolved = bwt_blocks_micro_certified(
+                jnp.asarray(batch), sentinel
+            )
         else:
-            L, base = bwt_blocks(jnp.asarray(batch), sentinel)
+            L, base, resolved = bwt_blocks_micro(jnp.asarray(batch), sentinel)
+            ok = resolved
+        resolved = np.asarray(resolved)
+        ok = np.asarray(ok)
+        if verify and not (ok | ~resolved).all():
+            bad = [i + t for t in np.nonzero(~ok & resolved)[0].tolist()]
+            raise AssertionError(
+                f"BWT verification failed for block(s) {bad} (internal error)"
+            )
         L = np.asarray(L)
         base = np.asarray(base)
         for t in range(j - i):
-            out.append((L[t], int(base[t])))
+            if resolved[t]:
+                out.append((L[t], int(base[t])))
+            else:
+                out.append(_fallback_row(batch[t], sentinel, verify))
         i = j
     return out
 

@@ -16,7 +16,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.batched import bwt_batched_v3, bwt_batched_v3_certified
+from ..core.batched import (
+    bwt_batched_micro,
+    bwt_batched_micro_certified,
+    bwt_batched_v3,
+    bwt_batched_v3_certified,
+)
 from ..core.unbwt import bwt_inverse
 from ..core.doubling import SENT_SMALL
 
@@ -64,6 +69,25 @@ def bwt_blocks_certified(blocks, sentinel: str = SENT_SMALL, mesh: Mesh | None =
         spec = NamedSharding(mesh, P("dp"))
         blocks = jax.device_put(blocks, spec)
     return _bwt_blocks_certified(blocks, sentinel)
+
+
+def bwt_blocks_micro(blocks, sentinel: str = SENT_SMALL, mesh: Mesh | None = None):
+    """Fast-path forward BWT (no cascade in the graph): (L2, base2, resolved2).
+    Rows with resolved2=False must be recomputed by the caller — see
+    core.batched.bwt_batched_micro."""
+    if mesh is not None:
+        blocks = jax.device_put(blocks, NamedSharding(mesh, P("dp")))
+    return bwt_batched_micro(blocks, sentinel)
+
+
+def bwt_blocks_micro_certified(
+    blocks, sentinel: str = SENT_SMALL, mesh: Mesh | None = None
+):
+    """Fast-path forward BWT with the per-block LF certificate:
+    (L2, base2, ok2, resolved2)."""
+    if mesh is not None:
+        blocks = jax.device_put(blocks, NamedSharding(mesh, P("dp")))
+    return bwt_batched_micro_certified(blocks, sentinel)
 
 
 def unbwt_blocks(L, base, sentinel: str = SENT_SMALL, mesh: Mesh | None = None):

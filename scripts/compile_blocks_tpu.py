@@ -1,0 +1,84 @@
+"""Compile + time the cascade-free batched blocks program on the TPU relay.
+
+Run standalone (python scripts/compile_blocks_tpu.py [nblocks block_log ...]);
+writes the bench blocks marker on success so bench.py's staged auto mode can
+include the blocks metric.  Keeps the persistent compile cache warm at
+.jax_cache (the relay ignores JAX_COMPILATION_CACHE_DIR — config update only,
+see docs/PERF.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+
+def main():
+    shapes = []
+    args = sys.argv[1:]
+    while args:
+        shapes.append((int(args[0]), int(args[1])))
+        args = args[2:]
+    if not shapes:
+        shapes = [(16, 22)]  # 64 MiB as 16 x 4 MiB — the x1 production shape
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache"))
+    jax.config.update("jax_enable_compilation_cache", True)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from archon_tpu.core.batched import bwt_batched_micro
+    from archon_tpu.utils.corpus import load_or_synthesize
+
+    for nblocks, blog in shapes:
+        bsz = 1 << blog
+        size = nblocks * bsz
+        name, data = load_or_synthesize(size)
+        arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
+
+        @jax.jit
+        def step(x):
+            L2, base2, resolved = bwt_batched_micro(x, "small")
+            return L2, base2, resolved, L2.astype(jnp.int32).sum() + base2.sum()
+
+        print(f"[compile] ({nblocks}, 2^{blog}) = {size >> 20} MiB ...", flush=True)
+        t0 = time.time()
+        out = step(arr)
+        int(out[-1])  # force completion (relay block_until_ready returns early)
+        compile_s = time.time() - t0
+        print(f"[compile] done in {compile_s:.0f}s; resolved={np.asarray(out[2]).all()}",
+              flush=True)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = step(arr)
+            int(out[-1])
+            times.append(time.perf_counter() - t0)
+        mbps = size / 1e6 / min(times)
+        print(f"[timing] ({nblocks}, 2^{blog}): {min(times)*1e3:.0f} ms = "
+              f"{mbps:.1f} MB/s  (times: {[round(t, 3) for t in times]})", flush=True)
+        marker = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        prev = {}
+        if os.path.exists(marker):
+            try:
+                with open(marker) as fh:
+                    prev = json.load(fh)
+            except Exception:
+                prev = {}
+        if mbps > prev.get("mbps", 0.0):
+            with open(marker, "w") as fh:
+                json.dump({"nblocks": nblocks, "block": bsz,
+                           "mbps": round(mbps, 2),
+                           "compile_s": round(compile_s, 1)}, fh)
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,69 @@ def test_batched_v3_mixed_tail_paths(sentinel):
 
 
 @pytest.mark.parametrize("sentinel", ["small", "large"])
+def test_batched_micro_fast_path(sentinel):
+    """The cascade-free production program: rows it reports resolved must be
+    byte-exact; rows beyond the micro tail must be flagged unresolved (the
+    container re-dispatches those through the 1D cascade)."""
+    from archon_tpu.core.batched import (
+        bwt_batched_micro,
+        bwt_batched_micro_certified,
+    )
+
+    n = 32768
+    rng = np.random.default_rng(41)
+    rows = np.stack(
+        [
+            rng.integers(0, 256, n, dtype=np.uint8),   # resolves in the loop
+            _planted_repeat_row(n, 100, 256, 42),      # micro residue
+            _planted_repeat_row(n, 1000, 2, 43),       # deep ties
+            np.zeros(n, np.uint8),                     # degenerate run
+        ]
+    )
+    # at this n the lockstep loop runs until k >= n, so every row resolves
+    L2, base2, resolved = bwt_batched_micro(rows, sentinel)
+    L2, base2, resolved = np.asarray(L2), np.asarray(base2), np.asarray(resolved)
+    assert resolved.all()
+    for b in range(rows.shape[0]):
+        want_L, want_base = golden.bwt_forward(rows[b], sentinel)
+        assert L2[b].tolist() == want_L.tolist(), f"row {b}"
+        assert int(base2[b]) == int(want_base), f"row {b}"
+
+    Lc, basec, ok, res_c = bwt_batched_micro_certified(rows, sentinel)
+    Lc, basec = np.asarray(Lc), np.asarray(basec)
+    ok, res_c = np.asarray(ok), np.asarray(res_c)
+    assert res_c.tolist() == resolved.tolist()
+    assert ok.all()
+    assert Lc.tolist() == L2.tolist()
+    assert basec.tolist() == base2.tolist()
+
+
+def test_batched_micro_unresolved_flag():
+    """A residue that exceeds the micro tail's 4096-active capacity at loop
+    exit (an ~8 KiB planted repeat in a 256 KiB block makes the loop exit
+    with ~10k actives) must be flagged unresolved, and resolved rows in the
+    same batch must still be exact (vs the golden-tested 1D path — golden
+    itself is too slow at this n)."""
+    from archon_tpu.core.batched import bwt_batched_micro
+    from archon_tpu.core.fast2 import bwt_v3
+
+    n = 1 << 18
+    rng = np.random.default_rng(7)
+    rows = np.stack(
+        [
+            rng.integers(0, 256, n, dtype=np.uint8),
+            _planted_repeat_row(n, 8192, 256, 9),
+        ]
+    )
+    L2, base2, resolved = bwt_batched_micro(rows, "small")
+    resolved = np.asarray(resolved)
+    assert resolved[0] and not resolved[1]
+    want_L, want_base = bwt_v3(rows[0], "small")
+    assert np.asarray(L2)[0].tolist() == np.asarray(want_L).tolist()
+    assert int(np.asarray(base2)[0]) == int(want_base)
+
+
+@pytest.mark.parametrize("sentinel", ["small", "large"])
 def test_batched_v3_micro_only_batch(sentinel):
     """All rows resolve in the micro tail (no cascade): the emission must
     come entirely from the tile extraction + snapshot refinement path."""

@@ -19,6 +19,22 @@ def test_block_container_roundtrip():
     assert blocks.decode_file(blocks.encode_file(b"", "a4")) == b""
 
 
+def test_block_container_fallback_row():
+    """A block whose residue exceeds the fast path's micro capacity (8 KiB
+    planted repeat in a 256 KiB block) must be flagged unresolved on device
+    and re-dispatched through the 1D cascade — the container round-trip
+    stays byte-exact either way."""
+    n = 1 << 18
+    rng = np.random.default_rng(17)
+    row = rng.integers(0, 256, n, dtype=np.uint8)
+    blk = rng.integers(0, 256, 8192, dtype=np.uint8)
+    row[500 : 500 + 8192] = blk
+    row[n // 2 : n // 2 + 8192] = blk
+    data = row.tobytes() + text_like(1000)
+    blob = blocks.encode_file(data, "a4", block_size=n)
+    assert blocks.decode_file(blob) == data
+
+
 def test_block_extract_reference_compatible(oracles):
     from conftest import run_oracle
 
