@@ -40,18 +40,27 @@ BASELINE_MBPS = 500.0
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _BLOCKS_MARKER = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
 
-# state shared with the watchdog: "best" holds the highest-throughput
-# complete result dict; "printed" flips once a line has been emitted
-_STATE = {"best": None, "printed": False}
+# state shared with the watchdog: "results" maps priority -> latest complete
+# result dict at that priority; "printed" flips once a line has been emitted.
+# The HEADLINE is the highest-priority metric measured (production blocks
+# program > full-size whole-file > small whole-file) — NOT the best value:
+# round 2's best-value rule made the small-size number the headline, which
+# flattered the result (VERDICT weak #7).  Lower-priority numbers ride along
+# as fields.
+_STATE = {"results": {}, "extra": {}, "printed": False}
 _LOCK = threading.Lock()
 
 
-def _record(result: dict) -> None:
+def _record(result: dict, priority: int = 0) -> None:
     print(f"[bench] {json.dumps(result)}", file=sys.stderr, flush=True)
     with _LOCK:
-        best = _STATE["best"]
-        if best is None or result["value"] >= best["value"]:
-            _STATE["best"] = result
+        _STATE["results"][priority] = result
+
+
+def _record_extra(key: str, value) -> None:
+    print(f"[bench] {json.dumps({key: value})}", file=sys.stderr, flush=True)
+    with _LOCK:
+        _STATE["extra"][key] = value
 
 
 def _emit() -> None:
@@ -59,15 +68,26 @@ def _emit() -> None:
         if _STATE["printed"]:
             return
         _STATE["printed"] = True
-        best = _STATE["best"]
-    if best is not None:
-        print(json.dumps(best), flush=True)
+        results = dict(_STATE["results"])
+        extra = dict(_STATE["extra"])
+    if not results:
+        return
+    top = max(results)
+    best = dict(results[top])
+    for pri in sorted(results):
+        if pri != top:
+            r = results[pri]
+            best[f"also_{r['metric']}"] = r["value"]
+    best.update(extra)
+    if "ref_a4_encode_mbps" in best:
+        best["vs_reference"] = round(best["value"] / best["ref_a4_encode_mbps"], 2)
+    print(json.dumps(best), flush=True)
 
 
 def _watchdog(deadline: float) -> None:
     time.sleep(max(0.0, deadline - time.time()))
     with _LOCK:
-        have = _STATE["best"] is not None and not _STATE["printed"]
+        have = bool(_STATE["results"]) and not _STATE["printed"]
     if have:
         _emit()
         os._exit(0)
@@ -75,7 +95,7 @@ def _watchdog(deadline: float) -> None:
         os._exit(3)
 
 
-def _measure(step, arr, size, metric, deadline, iters=3, extra=None):
+def _measure(step, arr, size, metric, deadline, iters=3, extra=None, priority=0):
     """Compile + time one jitted step; record best-so-far after every iter."""
     t_c = time.time()
     out = step(arr)
@@ -99,7 +119,7 @@ def _measure(step, arr, size, metric, deadline, iters=3, extra=None):
         }
         if extra:
             res.update(extra)
-        _record(res)
+        _record(res, priority)
         if time.time() > deadline - 1.5 * times[-1]:
             break
     return out
@@ -144,13 +164,14 @@ def main():
 
     name, data = load_or_synthesize(size_cap)
 
-    def run_v3(size):
+    def run_v3(size, priority):
         from archon_tpu.core.fast2 import bwt_v3
 
         arr = jnp.asarray(np.frombuffer(data[:size], dtype=np.uint8))
         return _measure(
             _v3_step(bwt_v3), arr, size,
             f"forward_bwt_v3_{name}_{size >> 20}MiB", deadline, iters,
+            priority=priority,
         )
 
     def run_single(which, size):
@@ -165,25 +186,29 @@ def main():
             f"forward_bwt_{which}_{name}_{size >> 20}MiB", deadline, iters,
         )
 
-    def run_blocks(size):
-        from archon_tpu.core.batched import bwt_batched_v3
+    def run_blocks(size, blk=None):
+        # the production program: cascade-free fast path (core.batched.
+        # bwt_batched_micro), the same graph io/blocks ships.  The marker is
+        # written by scripts/compile_blocks_tpu.py after an on-relay compile.
+        from archon_tpu.core.batched import bwt_batched_micro
 
-        nblocks = max(1, size // block)
-        bsz = min(block, size)
+        blk = blk or block
+        nblocks = max(1, size // blk)
+        bsz = min(blk, size)
         size = nblocks * bsz
         arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
 
         @jax.jit
         def step(x):
-            L2, base2 = bwt_batched_v3(x, "small")
+            L2, base2, resolved = bwt_batched_micro(x, "small")
             return L2, base2, L2.astype(jnp.int32).sum() + base2.sum()
 
         out = _measure(
             step, arr, size,
             f"forward_bwt_blocks{bsz >> 20}MiB_{name}_{size >> 20}MiB",
-            deadline, iters,
+            deadline, iters, priority=3,
         )
-        # the program compiled at this (nblocks, bsz): leave the marker
+        # the program compiled at this (nblocks, bsz): refresh the marker
         os.makedirs(os.path.dirname(_BLOCKS_MARKER), exist_ok=True)
         with open(_BLOCKS_MARKER, "w") as fh:
             json.dump({"nblocks": nblocks, "block": bsz}, fh)
@@ -213,18 +238,20 @@ def main():
     elif impl in ("v3", "v2", "fast", "plain"):
         out = run_single(impl, size_cap)
     else:
-        # staged auto mode (the driver path)
-        stage1 = min(size_cap, 1 << 24)
-        out = run_v3(stage1)
-        if size_cap > stage1 and time.time() < deadline - 150:
-            out = run_v3(size_cap)
-        if os.path.exists(_BLOCKS_MARKER) and time.time() < deadline - 120:
+        # staged auto mode (the driver path).  Blocks (the production
+        # program) runs FIRST when its cache is warm — it is the headline.
+        if os.path.exists(_BLOCKS_MARKER):
             try:
                 with open(_BLOCKS_MARKER) as fh:
                     m = json.load(fh)
-                out = run_blocks(m["nblocks"] * m["block"]) or out
+                out = run_blocks(m["nblocks"] * m["block"], m["block"]) or out
             except Exception:
                 pass
+        stage1 = min(size_cap, 1 << 24)
+        if time.time() < deadline - 150:
+            out = run_v3(stage1, priority=1) or out
+        if size_cap > stage1 and time.time() < deadline - 150:
+            out = run_v3(size_cap, priority=2) or out
 
     # bonus metric with leftover budget: the reference a4 binary itself on
     # the SAME data and host (single-core CPU, the hardware class it was
@@ -254,12 +281,7 @@ def main():
                 check=True, capture_output=True, timeout=120,
             )
             ref_mbps = round(ref_n / 1e6 / (time.perf_counter() - t0), 2)
-            with _LOCK:
-                if _STATE["best"] is not None:
-                    _STATE["best"]["ref_a4_encode_mbps"] = ref_mbps
-                    _STATE["best"]["vs_reference"] = round(
-                        _STATE["best"]["value"] / ref_mbps, 2
-                    )
+            _record_extra("ref_a4_encode_mbps", ref_mbps)
     except Exception:
         pass
 
@@ -289,11 +311,7 @@ def main():
                         )
                     )
                 dt = time.perf_counter() - t0
-                with _LOCK:
-                    if _STATE["best"] is not None:
-                        _STATE["best"]["decode_native_mbps"] = round(
-                            L.size / 1e6 / dt, 2
-                        )
+                _record_extra("decode_native_mbps", round(L.size / 1e6 / dt, 2))
     except Exception:
         pass
 
