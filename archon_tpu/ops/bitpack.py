@@ -16,9 +16,18 @@ import jax.numpy as jnp
 from jax import lax
 
 
-@jax.jit
-def pack_codes(data: jnp.ndarray, code_values: jnp.ndarray, code_lengths: jnp.ndarray):
-    """Pack each symbol's code LSB-first at increasing bit offsets.
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def pack_codes_sized(
+    data: jnp.ndarray,
+    code_values: jnp.ndarray,
+    code_lengths: jnp.ndarray,
+    max_len: int,
+):
+    """Pack each symbol's code LSB-first at increasing bit offsets, with the
+    word buffer sized by the table's TRUE maximum code length (host-known
+    before trace time — the Huffman build is host-side), not the 32-bit
+    worst case.  The reference bounds its key domain the same way
+    (rad_bits <= 24 asserted from real code widths, a6/src/bwt.c:346).
 
     data: (n,) uint8 symbols; code_values: (256,) uint32; code_lengths:
     (256,) int32.  Returns (words u32[W], ends i32[n], total_bits i32).
@@ -30,7 +39,7 @@ def pack_codes(data: jnp.ndarray, code_values: jnp.ndarray, code_lengths: jnp.nd
     total = ends[-1] if n else jnp.int32(0)
     starts = ends - lengths
 
-    nwords = (data.shape[0] * 32 + 31) // 32 + 1  # static capacity: <=32 bits/code
+    nwords = (n * max_len + 31) // 32 + 1
     w0 = (starts >> 5).astype(jnp.int32)
     sh = (starts & 31).astype(jnp.uint32)
     c0 = codes << sh
@@ -40,6 +49,11 @@ def pack_codes(data: jnp.ndarray, code_values: jnp.ndarray, code_lengths: jnp.nd
     words = words.at[w0].add(c0, mode="drop")
     words = words.at[w0 + 1].add(c1, mode="drop")
     return words, ends, total
+
+
+def pack_codes(data: jnp.ndarray, code_values: jnp.ndarray, code_lengths: jnp.ndarray):
+    """32-bit-capacity variant of :func:`pack_codes_sized` (any legal table)."""
+    return pack_codes_sized(data, code_values, code_lengths, 32)
 
 
 @jax.jit

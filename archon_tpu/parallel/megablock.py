@@ -198,7 +198,8 @@ def _make_init(mesh: Mesh, S: int, n: int, sentinel: str):
 
 @functools.lru_cache(maxsize=256)
 def _make_round(mesh: Mesh, S: int, n: int, k: int, sentinel: str):
-    """One distributed quadrupling round at static context k."""
+    """One distributed quadrupling round at static context k (kept for
+    comparison/tests; production uses the k-dynamic program below)."""
     ns = mesh.shape[AXIS]
     off_end = np.int32(-1) if sentinel == SENT_SMALL else np.int32(n + 1)
 
@@ -220,14 +221,100 @@ def _make_round(mesh: Mesh, S: int, n: int, k: int, sentinel: str):
     )
 
 
-def suffix_array_sharded(data, mesh: Mesh, sentinel: str = SENT_SMALL) -> np.ndarray:
-    """Distributed suffix array over mesh axis 'sp'.
+def _rotate_dyn(x, d, ns: int):
+    """Ring-rotate a shard array by a *traced* distance d in [0, ns): shard i
+    ends up holding shard (i+d) % ns's x.  Composition of log2(ns) static
+    ppermutes selected by d's bits — the trick that makes ONE compiled round
+    program serve every context k (the reference GPU analog: one kernel set,
+    jump as a uniform, gpu/Archon.boo:104-118).  Costs log2(ns) hops instead
+    of 1, but saves a 30-90 s relay compile per k value."""
+    t = 0
+    m = 1
+    while m < ns:
+        y = lax.ppermute(x, AXIS, _rot(ns, m))
+        x = jnp.where((d >> t) & 1 == 1, y, x)
+        t += 1
+        m <<= 1
+    return x
 
-    Exact for every input (incl. shard-spanning tie groups: all-zeros,
-    Fibonacci strings — the Gauntlet pathologies).  ``n`` must divide
-    evenly by the shard count (the block container pads); the shard count
-    must be a power of two (TPU meshes are).
-    """
+
+def _halo_window_dyn(rank_shard, jk, S: int, ns: int):
+    """Global rank[sid*S + jk : sid*S + jk + S] for traced jk.
+
+    Values at global positions >= n are garbage; the caller masks them."""
+    d = (jk // S) % ns
+    o = jk % S
+    rot_d = _rotate_dyn(rank_shard, d, ns)
+    rot_d1 = lax.ppermute(rot_d, AXIS, _rot(ns, 1))
+    both = jnp.concatenate([rot_d, rot_d1])
+    return lax.dynamic_slice(both, (o,), (S,))
+
+
+@functools.lru_cache(maxsize=64)
+def _make_round_dyn(mesh: Mesh, S: int, n: int, sentinel: str):
+    """The k-DYNAMIC distributed quadrupling round: compiled once per
+    (mesh, shard size), reused for every context k.  A real 1 GB megablock
+    runs ~14 rounds; with per-k programs that was ~14 relay compiles
+    (30-90 s each) before the first useful byte — now it is one."""
+    ns = mesh.shape[AXIS]
+    off_end = np.int32(-1) if sentinel == SENT_SMALL else np.int32(n + 1)
+
+    def round_fn(rank_shard, k):
+        sid = lax.axis_index(AXIS)
+        pos = sid * S + lax.iota(jnp.int32, S)
+
+        def shifted(j):
+            jk = j * k
+            w = _halo_window_dyn(rank_shard, jk, S, ns)
+            return jnp.where(pos + jk < n, w, off_end)
+
+        keys = (rank_shard, shifted(1), shifted(2), shifted(3))
+        return _slot_ranks(keys, pos, S, ns, n, sid)
+
+    return jax.jit(
+        shard_map(
+            round_fn,
+            mesh=mesh,
+            in_specs=(P(AXIS), P()),
+            out_specs=(P(AXIS), P()),
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _make_emit(mesh: Mesh, S: int, n: int):
+    """Sharded BWT emission: L[rank[p]] = data[(p-1) mod n], via one more
+    merge-split sort keyed on rank with the prev-byte payload riding along —
+    the sharded analog of the carried-payload emission in core/batched (and
+    of the reference's per-block emit loop, final/x1/ArchonX1.c:118-131;
+    GPU gather stage gpu/Archon.boo:336-347).  Shard i returns
+    L[i*S:(i+1)*S]; base = rank[0] comes back replicated."""
+    ns = mesh.shape[AXIS]
+
+    def emit_fn(rank_shard, data_shard):
+        sid = lax.axis_index(AXIS)
+        pos = sid * S + lax.iota(jnp.int32, S)
+        last = lax.ppermute(data_shard[-1:], AXIS, _rot(ns, -1))
+        prev = jnp.concatenate([last, data_shard[:-1]])
+        _, L_shard = _merge_split_sort(
+            [rank_shard, prev.astype(jnp.int32)], 1, ns, sid
+        )
+        base = lax.psum(jnp.sum(jnp.where(pos == 0, rank_shard, 0)), AXIS)
+        return L_shard.astype(jnp.uint8), base
+
+    return jax.jit(
+        shard_map(
+            emit_fn,
+            mesh=mesh,
+            in_specs=(P(AXIS), P(AXIS)),
+            out_specs=(P(AXIS), P()),
+        )
+    )
+
+
+def _sharded_ranks(data, mesh: Mesh, sentinel: str):
+    """Shared driver: distributed doubling to full rank resolution.
+    Returns (rank_device_array, data_device_array, S, n)."""
     arr = np.asarray(data, np.uint8)
     n = len(arr)
     ns = mesh.shape[AXIS]
@@ -243,14 +330,36 @@ def suffix_array_sharded(data, mesh: Mesh, sentinel: str = SENT_SMALL) -> np.nda
     # dispatch-ahead termination: round k is enqueued BEFORE round k/4's
     # surviving-tie count is fetched, so the host sync overlaps device
     # execution (at most one speculative round runs past resolution)
+    round_fn = _make_round_dyn(mesh, S, n, sentinel)
     k = 3
     while k < 4 * n:
-        cur = _make_round(mesh, S, n, k, sentinel)(prev_rank)
+        cur = round_fn(prev_rank, jnp.int32(k))
         if int(prev_na) == 0:
             break
         prev_rank, prev_na = cur
         k *= 4
+    return prev_rank, data_dev, S, n
 
+
+def bwt_megablock(data, mesh: Mesh, sentinel: str = SENT_SMALL):
+    """Sharded forward BWT of one megablock: returns (L_shards, base) with
+    L still device-resident and sharded over 'sp' (shard i holds
+    L[i*S:(i+1)*S]) — ready for the sharded entropy stage
+    (parallel.megapipe) without ever materializing L on one device."""
+    rank, data_dev, S, n = _sharded_ranks(data, mesh, sentinel)
+    L, base = _make_emit(mesh, S, n)(rank, data_dev)
+    return L, int(base)
+
+
+def suffix_array_sharded(data, mesh: Mesh, sentinel: str = SENT_SMALL) -> np.ndarray:
+    """Distributed suffix array over mesh axis 'sp'.
+
+    Exact for every input (incl. shard-spanning tie groups: all-zeros,
+    Fibonacci strings — the Gauntlet pathologies).  ``n`` must divide
+    evenly by the shard count (the block container pads); the shard count
+    must be a power of two (TPU meshes are).
+    """
+    prev_rank, _data_dev, S, n = _sharded_ranks(data, mesh, sentinel)
     r = np.asarray(prev_rank)
     if np.unique(r).size != n:  # pragma: no cover - permutation invariant
         raise AssertionError("megablock ranks did not resolve to a permutation")

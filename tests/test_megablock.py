@@ -36,6 +36,75 @@ def test_sharded_odd_sizes_and_two_shards():
     assert got.tolist() == want.tolist()
 
 
+def test_sharded_bwt_emission():
+    """bwt_megablock: the prev-byte payload carried through the final
+    merge-split sort must reproduce the golden BWT exactly, sharded."""
+    from archon_tpu.parallel.megablock import bwt_megablock
+
+    mesh = make_mesh({"sp": 8})
+    for arr in (
+        np.frombuffer(text_like(4096, seed=5), np.uint8),
+        np.zeros(2048, np.uint8),
+    ):
+        L, base = bwt_megablock(arr, mesh, "small")
+        want_L, want_base = golden.bwt_forward(arr, "small")
+        assert np.asarray(L).tolist() == want_L.tolist()
+        assert base == int(want_base)
+
+
+@pytest.mark.parametrize("coder", ["byte", "var"])
+@pytest.mark.parametrize("generation", ["a4", "a7"])
+def test_megapipe_roundtrip(coder, generation):
+    """End-to-end sharded pipeline (BASELINE config 5's shape): SA -> sharded
+    BWT -> per-shard Huffman pack -> container -> host decode -> original."""
+    from archon_tpu.parallel.megapipe import decode_megablock, encode_megablock
+
+    mesh = make_mesh({"sp": 8})
+    data = text_like(8192, seed=9)
+    blob = encode_megablock(data, mesh, generation, coder)
+    assert decode_megablock(blob) == data
+    if coder == "var":
+        # entropy stage must actually compress text
+        assert len(blob) < len(data)
+
+
+def test_megapipe_degenerate_alphabet():
+    from archon_tpu.parallel.megapipe import decode_megablock, encode_megablock
+
+    mesh = make_mesh({"sp": 8})
+    data = bytes(np.zeros(2048, np.uint8))  # single-symbol: zero-length codes
+    blob = encode_megablock(data, mesh, "a4", "var")
+    assert decode_megablock(blob) == data
+
+
+def test_dynamic_round_matches_static():
+    """The k-dynamic round program (one compile for all k) must produce the
+    same ranks as the per-k static program."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import jax
+
+    from archon_tpu.parallel.megablock import (
+        _make_init, _make_round, _make_round_dyn,
+    )
+
+    mesh = make_mesh({"sp": 8})
+    n, ns = 2048, 8
+    S = n // ns
+    arr = np.frombuffer(text_like(n, seed=13), np.uint8)
+    data_dev = jax.device_put(
+        jnp.asarray(arr), NamedSharding(mesh, P("sp"))
+    )
+    rank, _ = _make_init(mesh, S, n, "small")(data_dev)
+    dyn = _make_round_dyn(mesh, S, n, "small")
+    for k in (3, 12, 48, 192, 768):
+        want_rank, want_na = _make_round(mesh, S, n, k, "small")(rank)
+        got_rank, got_na = dyn(rank, jnp.int32(k))
+        np.testing.assert_array_equal(np.asarray(got_rank), np.asarray(want_rank))
+        assert int(got_na) == int(want_na)
+        rank = want_rank
+
+
 @pytest.mark.parametrize("name", ["zeros", "fibonacci"])
 def test_sharded_gauntlet_large(name):
     """VERDICT r1 item 3: shard-spanning tie groups at n >= 2^20 complete
