@@ -32,7 +32,7 @@ def _build_lib():
     out = Path(tempfile.gettempdir()) / f"archon_host_{tag}.so"
     if not out.exists():
         cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-march=native",
+            "g++", "-O3", "-shared", "-fPIC", "-march=native", "-pthread",
             "-o", str(out), str(_SRC),
         ]
         try:
@@ -139,6 +139,11 @@ def bitpack(data: np.ndarray, code_values: np.ndarray, code_lengths: np.ndarray)
 
 def bitunpack(words: np.ndarray, total_bits: int, code_values, code_lengths, n: int):
     words = np.ascontiguousarray(words, np.uint32)
+    # The native first-bits decoder issues 8-byte wide loads that may read up
+    # to 8 bytes past the final bit; guarantee that tail is mapped (and zero).
+    need = (total_bits + 31) // 32 + 2
+    if len(words) < need:
+        words = np.concatenate([words, np.zeros(need - len(words), np.uint32)])
     vals = np.ascontiguousarray(code_values, np.uint32)
     lens = np.ascontiguousarray(code_lengths, np.uint8)
     lib = _build_lib()

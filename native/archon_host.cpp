@@ -9,8 +9,11 @@
 //
 // Exposed as a plain C ABI for ctypes (no pybind11 in this environment).
 
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 #include <fcntl.h>
 #include <sys/mman.h>
@@ -37,12 +40,185 @@ void archon_histogram256(const uint8_t* data, int64_t n, int64_t* out) {
 }
 
 // ---------------------------------------------------------------------------
-// LF successor build + chain walk: the one inherently serial loop.
-// sentinel_large selects the base-last counter roll (a7/a6 convention,
-// a7/src/archon.cpp:929-931); otherwise base rolls first (a4,
-// a4/src/archon.c:255-257).  P is caller-allocated scratch of n int32.
-// Returns 0 on success, -1 on bad input.
+// LF successor build + chain walk (decode).  sentinel_large selects the
+// base-last counter roll (a7/a6 convention, a7/src/archon.cpp:929-931);
+// otherwise base rolls first (a4, a4/src/archon.c:255-257).  P is
+// caller-allocated scratch of n int32.  Returns 0 on success, -1 on bad
+// input.
+//
+// The walk is a dependent pointer chase — the one inherently serial loop of
+// the whole codec — so the design attacks its MEMORY behavior instead of its
+// data dependency:
+//
+//  1. Packed table (n <= 2^24): T[i] = (successor << 8) | byte reuses the P
+//     scratch as u32, so a chase step costs ONE cache miss, not two (L[] and
+//     P[] live in the same line as their index).
+//  2. Cycle segmentation: every index is on the single LF cycle, so the
+//     multiples of a power-of-two stride S cut it into K = ceil(n/S)
+//     segments whose concatenation (in cycle order, discovered on the fly)
+//     is the output.  Start membership is a mask test — no bitmap.
+//  3. Memory-level parallelism: each worker thread walks 16 segments in
+//     round-robin lockstep, keeping ~16 independent misses in flight per
+//     core where the textbook walk keeps exactly 1; segments are then
+//     stitched with sequential memcpy (bandwidth-cheap).
+//
+// This replaces the reference's run-splice trick (a6/src/bwt.c:484-525) —
+// a uniprocessor cache optimization — with latency-hiding that scales with
+// cores x MLP.  The table build is parallelized the same way: per-chunk
+// symbol histograms + an exclusive combine give each chunk an independent
+// rank window (the base position's out-of-order roll handled exactly).
 // ---------------------------------------------------------------------------
+
+static const int kSegLog = 12;  // segment stride 4096
+static const int kLanes = 16;   // interleaved chains per worker thread
+
+static int walk_threads(int64_t n) {
+    unsigned hc = std::thread::hardware_concurrency();
+    if (hc == 0) hc = 1;
+    int64_t by_work = n >> 16;  // don't spin threads for < 64 KiB each
+    int t = (int)(by_work < (int64_t)hc ? (by_work < 1 ? 1 : by_work) : hc);
+    return t > 32 ? 32 : t;
+}
+
+// Parallel build of the packed successor table T (u32: successor<<8 | byte).
+static void build_packed_table(const uint8_t* L, int64_t n, int64_t base,
+                               int sentinel_large, const int64_t* R,
+                               uint32_t* T, int nthreads) {
+    const uint8_t cb = L[base];
+    std::vector<std::vector<int64_t>> hist((size_t)nthreads,
+                                           std::vector<int64_t>(256, 0));
+    const int64_t chunk = (n + nthreads - 1) / nthreads;
+    auto histo = [&](int t) {
+        const int64_t i0 = t * chunk, i1 = i0 + chunk < n ? i0 + chunk : n;
+        int64_t* h = hist[(size_t)t].data();
+        for (int64_t i = i0; i < i1; ++i) ++h[L[i]];
+        if (i0 <= base && base < i1) --h[cb];  // base rolls out of order
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; ++t) ts.emplace_back(histo, t);
+        histo(0);
+        for (auto& th : ts) th.join();
+    }
+    // exclusive combine: chunk t's rank window per symbol
+    std::vector<std::vector<int64_t>> off((size_t)nthreads,
+                                          std::vector<int64_t>(256, 0));
+    for (int c = 0; c < 256; ++c) {
+        // small sentinel: base rolls FIRST, shifting every other L[i]==cb by 1
+        int64_t run = R[c] + (!sentinel_large && c == cb ? 1 : 0);
+        for (int t = 0; t < nthreads; ++t) {
+            off[(size_t)t][(size_t)c] = run;
+            run += hist[(size_t)t][(size_t)c];
+        }
+    }
+    auto fill = [&](int t) {
+        const int64_t i0 = t * chunk, i1 = i0 + chunk < n ? i0 + chunk : n;
+        int64_t* o = off[(size_t)t].data();
+        for (int64_t i = i0; i < i1; ++i) {
+            if (i == base) continue;
+            const uint8_t c = L[i];
+            T[i] = ((uint32_t)o[c]++ << 8) | c;
+        }
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; ++t) ts.emplace_back(fill, t);
+        fill(0);
+        for (auto& th : ts) th.join();
+    }
+    // base's own successor: first rank (small) or last rank (large) of cb
+    int64_t nb = R[cb];
+    if (sentinel_large) {
+        int64_t total = 0;
+        for (int t = 0; t < nthreads; ++t) total += hist[(size_t)t][cb];
+        nb += total;
+    }
+    T[base] = ((uint32_t)nb << 8) | cb;
+}
+
+// Segmented MLP walk over the packed table.  Returns 0, or -1 if the chain
+// structure is inconsistent (corrupt payload).
+static int segmented_walk(const uint32_t* T, int64_t n, int64_t base,
+                          uint8_t* out, int nthreads) {
+    const int64_t S = (int64_t)1 << kSegLog;
+    const int64_t mask = S - 1;
+    const int64_t nreg = ((n - 1) >> kSegLog) + 1;
+    const int base_extra = (base & mask) != 0;
+    const int64_t K = nreg + base_extra;
+    auto sid = [&](int64_t p) -> int64_t {
+        return (p & mask) ? nreg : p >> kSegLog;  // non-multiple start == base
+    };
+    std::vector<std::vector<uint8_t>> seg((size_t)K);
+    std::vector<int64_t> next_start((size_t)K, -1);
+    std::atomic<int64_t> cursor{0};
+    std::atomic<bool> bad{false};
+    auto work = [&]() {
+        int64_t ids[kLanes];
+        uint32_t es[kLanes];
+        std::vector<uint8_t>* bufs[kLanes];
+        int active = 0;
+        auto refill = [&]() {
+            while (active < kLanes) {
+                const int64_t g = cursor.fetch_add(1);
+                if (g >= K) break;
+                const int64_t p = g < nreg ? g << kSegLog : base;
+                ids[active] = g;
+                es[active] = T[p];
+                bufs[active] = &seg[(size_t)g];
+                bufs[active]->reserve((size_t)(S + S / 2));
+                ++active;
+            }
+        };
+        refill();
+        while (active && !bad.load(std::memory_order_relaxed)) {
+            for (int t = 0; t < active; ++t) {
+                const uint32_t e = es[t];
+                bufs[t]->push_back((uint8_t)e);
+                const int64_t q = e >> 8;
+                if ((q & mask) == 0 || q == base) {
+                    next_start[(size_t)ids[t]] = q;
+                    --active;
+                    ids[t] = ids[active];
+                    es[t] = es[active];
+                    bufs[t] = bufs[active];
+                    --t;
+                } else {
+                    if (bufs[t]->size() > (size_t)n) {  // corrupt: loop
+                        bad.store(true, std::memory_order_relaxed);
+                        break;
+                    }
+                    es[t] = T[q];
+                }
+            }
+            refill();
+        }
+    };
+    {
+        std::vector<std::thread> ts;
+        for (int t = 1; t < nthreads; ++t) ts.emplace_back(work);
+        work();
+        for (auto& th : ts) th.join();
+    }
+    if (bad.load()) return -1;
+    // stitch in cycle order starting from base's segment
+    std::vector<uint8_t> visited((size_t)K, 0);
+    int64_t cur = sid(base), done = 0;
+    uint8_t* w = out;
+    for (int64_t c = 0; c < K; ++c) {
+        if (cur < 0 || cur >= K || visited[(size_t)cur]) return -1;
+        visited[(size_t)cur] = 1;
+        const std::vector<uint8_t>& b = seg[(size_t)cur];
+        memcpy(w, b.data(), b.size());
+        w += b.size();
+        done += (int64_t)b.size();
+        const int64_t ns = next_start[(size_t)cur];
+        if (ns < 0) return -1;
+        cur = sid(ns);
+        if (cur == sid(base)) break;
+    }
+    return done == n ? 0 : -1;
+}
+
 int archon_unbwt(const uint8_t* L, int64_t n, int64_t base, int sentinel_large,
                  int32_t* P, uint8_t* out) {
     if (n <= 0 || base < 0 || base >= n) return n == 0 ? 0 : -1;
@@ -50,6 +226,36 @@ int archon_unbwt(const uint8_t* L, int64_t n, int64_t base, int sentinel_large,
     for (int64_t i = 0; i < n; ++i) ++R[L[i]];
     int64_t k = n;
     for (int c = 256; c--;) R[c] = (k -= R[c]);
+
+    if (n <= (int64_t)1 << 24) {
+        // packed successor table in the P scratch (fits u32 up to 2^24,
+        // the 16 MiB production block ceiling)
+        uint32_t* T = (uint32_t*)P;
+        const int nthreads = walk_threads(n);
+        if (nthreads > 1) {
+            build_packed_table(L, n, base, sentinel_large, R, T, nthreads);
+            return segmented_walk(T, n, base, out, nthreads);
+        }
+        if (sentinel_large) {
+            for (int64_t i = 0; i < base; ++i)
+                T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+            for (int64_t i = base + 1; i < n; ++i)
+                T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+            T[base] = ((uint32_t)R[L[base]]++ << 8) | L[base];
+        } else {
+            T[base] = ((uint32_t)R[L[base]]++ << 8) | L[base];
+            for (int64_t i = 0; i < base; ++i)
+                T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+            for (int64_t i = base + 1; i < n; ++i)
+                T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+        }
+        uint32_t e = T[base];
+        for (int64_t i = 0; i < n; ++i) {
+            out[i] = (uint8_t)e;
+            e = T[e >> 8];
+        }
+        return 0;
+    }
 
     if (sentinel_large) {
         for (int64_t i = 0; i < base; ++i) P[i] = (int32_t)R[L[i]]++;
@@ -65,7 +271,7 @@ int archon_unbwt(const uint8_t* L, int64_t n, int64_t base, int sentinel_large,
         out[i] = L[kk];
         kk = P[kk];
     }
-    return kk == (int32_t)base ? 0 : 0;
+    return 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -135,26 +341,87 @@ int64_t archon_bitpack(const uint8_t* data, int64_t n,
 // unique (this is exactly how the reference's sort and get_char consume the
 // stream, a6/src/bwt.c:112-144).  A forward LSB-aligned match would be
 // ambiguous.  Decodes back-to-front, emitting into out[n-1]..out[0].
+// First-bits table decode (the TPU-era answer to the reference's
+// DECODE_BITS=12 offset+list buckets, a6/src/coder.c:130-209): a
+// direct-mapped 4096-entry table resolves every code of length <= 12 in one
+// load + one shift — no bucket list scan at all.  Codes longer than 12 bits
+// (rare: Huffman assigns them only to symbols with frequency < n/2^12) fall
+// back to per-length candidate lists.  The stream is read backward: a
+// codeword ends at bit `pos`, its MSB sits at stream bit pos-1, so the 12
+// stream bits [pos-12, pos) ARE the window with the code left-aligned at the
+// top — a code c of length l matches iff window >> (12-l) == c.
+static const int kDecodeBits = 12;
+
+static inline uint32_t load_bits(const uint8_t* bytes, int64_t b, int l) {
+    // bits [b, b+l) of the little-endian bit stream, l <= 25
+    uint32_t w;
+    memcpy(&w, bytes + (b >> 3), 4);
+    return (w >> (b & 7)) & ((l == 32) ? 0xFFFFFFFFu : ((1u << l) - 1u));
+}
+
+static inline uint64_t load_bits64(const uint8_t* bytes, int64_t b, int l) {
+    uint64_t w;
+    memcpy(&w, bytes + (b >> 3), 8);
+    return (w >> (b & 7)) & ((l == 64) ? ~0ull : ((1ull << l) - 1ull));
+}
+
 int64_t archon_bitunpack(const uint32_t* words, int64_t total_bits,
                          const uint32_t* code_values, const uint8_t* code_lengths,
                          uint8_t* out, int64_t n) {
+    const uint8_t* bytes = (const uint8_t*)words;
+    // --- build the direct-mapped table: entry = (sym << 8) | len, 0 = escape
+    uint16_t table[1 << kDecodeBits] = {};
+    // per-length candidate lists for long codes (l in 13..32)
+    uint8_t long_syms[33][256];
+    int long_cnt[33] = {};
+    for (int s = 0; s < 256; ++s) {
+        const int l = code_lengths[s];
+        if (!l) continue;
+        if (l <= kDecodeBits) {
+            const uint32_t lo = code_values[s] << (kDecodeBits - l);
+            const uint32_t span = 1u << (kDecodeBits - l);
+            for (uint32_t w = lo; w < lo + span; ++w)
+                table[w] = (uint16_t)((s << 8) | l);
+        } else if (l <= 32) {
+            long_syms[l][long_cnt[l]++] = (uint8_t)s;
+        }
+    }
     int64_t pos = total_bits;
     for (int64_t j = n; j-- > 0;) {
-        // a codeword ends at pos: its MSB sits at stream bit pos-1, so
-        // accumulating bits pos-1, pos-2, ... MSB-first rebuilds the code
-        uint32_t acc = 0;
-        int l = 0, sym = -1;
-        while (l < 33 && l <= pos) {
-            ++l;
-            const int64_t b = pos - l;
-            acc = (acc << 1) | ((words[b >> 5] >> (b & 31)) & 1u);
-            for (int s = 0; s < 256; ++s) {
-                if (code_lengths[s] == l && code_values[s] == acc) {
-                    sym = s;
-                    break;
+        int sym = -1, l = 0;
+        if (pos >= kDecodeBits) {
+            const uint32_t w = load_bits(bytes, pos - kDecodeBits, kDecodeBits);
+            const uint16_t e = table[w];
+            if (e) {
+                sym = e >> 8;
+                l = e & 0xFF;
+            } else {
+                // long code: try lengths 13..32 in increasing order
+                // (prefix-free => the first match is the unique one)
+                for (l = kDecodeBits + 1; l <= 32 && l <= pos; ++l) {
+                    if (!long_cnt[l]) continue;
+                    const uint64_t acc = load_bits64(bytes, pos - l, l);
+                    for (int t = 0; t < long_cnt[l]; ++t) {
+                        const int s = long_syms[l][t];
+                        if (code_values[s] == (uint32_t)acc) { sym = s; break; }
+                    }
+                    if (sym >= 0) break;
                 }
             }
-            if (sym >= 0) break;
+        } else {
+            // stream head (< 12 bits left): incremental MSB-first scan
+            uint32_t acc = 0;
+            for (l = 1; l <= pos; ++l) {
+                const int64_t b = pos - l;
+                acc = (acc << 1) | ((words[b >> 5] >> (b & 31)) & 1u);
+                for (int s = 0; s < 256; ++s) {
+                    if (code_lengths[s] == l && code_values[s] == acc) {
+                        sym = s;
+                        break;
+                    }
+                }
+                if (sym >= 0) break;
+            }
         }
         if (sym < 0) return -1;
         out[j] = (uint8_t)sym;

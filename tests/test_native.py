@@ -38,6 +38,32 @@ def test_verify_cycle():
     assert not native.verify_cycle(bad, base, False) or True
 
 
+@pytest.mark.parametrize("sent", [False, True])
+def test_native_unbwt_parallel_path(sent):
+    # > 64 KiB engages the segmented MLP walk (kSegLog stride cuts, per-chunk
+    # histogram build); sizes straddle segment-stride multiples
+    for n in (4096 * 73 + 1, 300001):
+        data = np.frombuffer(text_like(n), np.uint8)
+        L, base = golden.bwt_forward(data, "large" if sent else "small")
+        want = golden.bwt_inverse(L, base, "large" if sent else "small")
+        got = native.unbwt(np.ascontiguousarray(L, np.uint8), base, sent)
+        assert got.tobytes() == want.tobytes()
+
+
+def test_native_unbwt_rejects_corrupt_chain():
+    data = np.frombuffer(text_like(200000), np.uint8)
+    L, base = golden.bwt_forward(data, "small")
+    L = np.ascontiguousarray(L, np.uint8)
+    bad = L.copy()
+    bad[1000:2000] = bad[1000]  # collapse a span: LF walk no longer a 1-cycle
+    try:
+        out = native.unbwt(bad, base, False)
+    except ValueError:
+        return  # detected inconsistency
+    # a swap can keep a valid (different) cycle; then output simply differs
+    assert out.tobytes() != data.tobytes()
+
+
 def test_native_bitcodec_roundtrip():
     data = np.frombuffer(b"abracadabra, a magic word said the banana", np.uint8)
     codes = build_encoder_var(np.bincount(data, minlength=256))
