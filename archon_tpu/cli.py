@@ -18,11 +18,9 @@ import sys
 import time
 
 
-def _rw(args, fn):
+def _rw_timed(args, fn, profile_dir=None):
     """Read-transform-write with the a4/a5-style per-stage report
     (a5/src/archon.c:161-192 "Stage k" + "Linear coef" ms/MB)."""
-    import os
-
     from .utils.timing import StageTimer, profile_trace
 
     timer = StageTimer()
@@ -30,9 +28,9 @@ def _rw(args, fn):
         with open(args.infile, "rb") as f:
             data = f.read()
     timer.total_bytes = len(data)
-    # set ARCHON_PROFILE_DIR to capture a jax.profiler trace of the transform
+    # --profile-dir / ARCHON_PROFILE_DIR: jax.profiler trace of the transform
     with timer.stage("Transform"):
-        with profile_trace(os.environ.get("ARCHON_PROFILE_DIR")):
+        with profile_trace(profile_dir):
             out = fn(data)
     with timer.stage("Write"):
         with open(args.outfile, "wb") as f:
@@ -56,6 +54,11 @@ def main(argv=None):
             pass
 
     p = argparse.ArgumentParser(prog="archon", description=__doc__)
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler trace of the transform stage here "
+        "(also honors ARCHON_PROFILE_DIR)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     for gen in ("a4", "a7"):
@@ -97,9 +100,26 @@ def main(argv=None):
                 help="continue an interrupted encode: keep complete blocks "
                 "already in OUTFILE, truncate any partial frame, encode the rest",
             )
+            gb.add_argument(
+                "--impl", default="micro", choices=["micro", "v3"],
+                help="device program: cascade-free fast path (micro) or "
+                "in-program cascade (v3)",
+            )
+            gb.add_argument(
+                "--dp", type=int, default=1,
+                help="shard the block batch over N devices (data parallel)",
+            )
+            gb.add_argument(
+                "--sp", type=int, default=1,
+                help="encode as ONE megablock text-sharded over N devices "
+                "(sharded SA -> BWT -> entropy pipeline; ATM1 container)",
+            )
 
     args = p.parse_args(argv)
     cfg = _config_from_args(args)
+    import functools
+
+    _rw = functools.partial(_rw_timed, profile_dir=cfg.profile_dir)
 
     if args.cmd in ("a4", "a7"):
         from . import formats
@@ -119,14 +139,34 @@ def main(argv=None):
         from .io import blocks
 
         if args.cmd == "e":
-            _rw(
-                args,
-                lambda d: blocks.encode_file(
-                    d, cfg.generation, cfg.block_size, verify=cfg.verify
-                ),
-            )
+            if cfg.sp > 1:
+                import jax
+
+                from .parallel.blocks import make_mesh
+                from .parallel import megapipe
+
+                mesh = make_mesh({"sp": cfg.sp}, devices=jax.devices()[: cfg.sp])
+                _rw(
+                    args,
+                    lambda d: megapipe.encode_megablock(d, mesh, cfg.generation),
+                )
+            else:
+                _rw(
+                    args,
+                    lambda d: blocks.encode_file(
+                        d, cfg.generation, cfg.block_size, verify=cfg.verify,
+                        impl=cfg.impl, dp=cfg.dp,
+                    ),
+                )
         else:
-            _rw(args, blocks.decode_file)
+            def _decode_any(d):
+                from .parallel import megapipe
+
+                if d[:4] == megapipe.MAGIC:  # sharded megablock container
+                    return megapipe.decode_megablock(d)
+                return blocks.decode_file(d)
+
+            _rw(args, _decode_any)
     return 0
 
 
@@ -135,6 +175,8 @@ def _config_from_args(args) -> "ArchonConfig":
     consume (SURVEY.md section 5: one dataclass config, reference switch names)."""
     from .config import ArchonConfig
     from .io.blocks import DEFAULT_BLOCK
+
+    import os
 
     cfg = ArchonConfig()
     cfg.generation = getattr(args, "generation", None) or (
@@ -145,6 +187,12 @@ def _config_from_args(args) -> "ArchonConfig":
     cfg.coder = getattr(args, "coder", cfg.coder)
     cfg.order = getattr(args, "order", cfg.order)
     cfg.radix = getattr(args, "radix", cfg.radix)
+    cfg.impl = getattr(args, "impl", cfg.impl)
+    cfg.dp = getattr(args, "dp", cfg.dp)
+    cfg.sp = getattr(args, "sp", cfg.sp)
+    cfg.profile_dir = (
+        getattr(args, "profile_dir", None) or os.environ.get("ARCHON_PROFILE_DIR")
+    )
     return cfg
 
 

@@ -27,13 +27,14 @@ class ArchonConfig:
     verify: bool = True             # always-on LF check after transform
 
     # execution
-    impl: str = "fast"              # fast (phased narrowing) | plain (fused while_loop)
+    impl: str = "micro"             # container device program: micro (cascade-
+                                    # free fast path) | v3 (in-program cascade)
     use_native: bool = True         # host decode via native C++ walk
-    profile_dir: str | None = None  # jax.profiler trace output
+    profile_dir: str | None = None  # jax.profiler trace output (--profile-dir)
 
     # parallelism
-    dp: int = 1                     # block-parallel shards
-    sp: int = 1                     # megablock shards
+    dp: int = 1                     # block-parallel shards (container --dp)
+    sp: int = 1                     # megablock text shards (container --sp)
 
     def sentinel(self) -> str:
         if self.generation == "a4":

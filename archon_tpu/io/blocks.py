@@ -57,20 +57,30 @@ def _fallback_row(row: np.ndarray, sentinel: str, verify: bool):
     return np.asarray(L), int(base)
 
 
-def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True):
+def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
+                     impl: str = "micro", mesh=None):
     """Transform blocks, batching equal-length runs through the dp pipeline.
 
     ``verify=True`` (default) runs the per-block LF certificate on device —
     the production container keeps verification always-on exactly like the
     reference binaries do (a4/src/main.c:7 VERIFY; a6/src/bwt.c:19-23).
 
-    The device program is the cascade-free fast path
-    (core.batched.bwt_batched_micro*): rows it reports unresolved — real
-    text never does — are recomputed through the 1D cascade pipeline."""
+    The device program is the cascade-free fast path by default
+    (``impl="micro"``, core.batched.bwt_batched_micro*): rows it reports
+    unresolved — real text never does — are recomputed through the 1D
+    cascade pipeline.  ``impl="v3"`` selects the in-program cascade variant
+    (no host fallback).  ``mesh`` dp-shards the block batch over devices."""
     from ..core.doubling import SENT_SMALL, SENT_LARGE
-    from ..parallel.blocks import bwt_blocks_micro, bwt_blocks_micro_certified
+    from ..parallel.blocks import (
+        bwt_blocks,
+        bwt_blocks_certified,
+        bwt_blocks_micro,
+        bwt_blocks_micro_certified,
+    )
     import jax.numpy as jnp
 
+    if impl not in ("micro", "v3"):
+        raise ValueError(f"unknown impl {impl!r}")
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
     out = []
     i = 0
@@ -85,12 +95,25 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True):
         batch = np.stack(
             [np.frombuffer(b[::-1], np.uint8) for b in blocks[i:j]]
         )
-        if verify:
+        ones = np.ones(j - i, bool)
+        # a ragged tail batch (fewer rows than devices) runs unsharded
+        m = mesh if mesh is not None and (j - i) % mesh.size == 0 else None
+        if impl == "v3":
+            if verify:
+                L, base, ok = bwt_blocks_certified(
+                    jnp.asarray(batch), sentinel, mesh=m
+                )
+            else:
+                (L, base), ok = bwt_blocks(jnp.asarray(batch), sentinel, mesh=m), ones
+            resolved = ones
+        elif verify:
             L, base, ok, resolved = bwt_blocks_micro_certified(
-                jnp.asarray(batch), sentinel
+                jnp.asarray(batch), sentinel, mesh=m
             )
         else:
-            L, base, resolved = bwt_blocks_micro(jnp.asarray(batch), sentinel)
+            L, base, resolved = bwt_blocks_micro(
+                jnp.asarray(batch), sentinel, mesh=m
+            )
             ok = resolved
         resolved = np.asarray(resolved)
         ok = np.asarray(ok)
@@ -115,15 +138,30 @@ def encode_file(
     generation: str = "a4",
     block_size: int = DEFAULT_BLOCK,
     verify: bool = True,
+    impl: str = "micro",
+    dp: int = 1,
 ) -> bytes:
+    """Encode into the blocked container.  ``impl`` selects the device
+    program (micro = cascade-free fast path, v3 = in-program cascade);
+    ``dp > 1`` shards the block batch over a dp-axis device mesh
+    (parallel/blocks.py) — requires that many JAX devices."""
     if generation not in GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
+    mesh = None
+    if dp > 1:
+        import jax
+
+        from ..parallel.blocks import make_mesh
+
+        mesh = make_mesh({"dp": dp}, devices=jax.devices()[:dp])
     header = MAGIC + struct.pack(
         "<BBHI", GENERATIONS[generation], 0, 0, block_size
     )
     blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
     chunks = [header]
-    for (L, base), blk in zip(_batched_forward(blocks, generation, verify), blocks):
+    for (L, base), blk in zip(
+        _batched_forward(blocks, generation, verify, impl, mesh), blocks
+    ):
         chunks.append(struct.pack("<I", len(blk)))
         chunks.append(L.tobytes())
         chunks.append(struct.pack("<I", base))

@@ -12,6 +12,8 @@ Container format (ours; the reference has no multi-device format):
 
     header: magic b'ATM1' | u8 generation (0=a4-small, 1=a7-large)
             | u8 coder (0=byte, 1=var) | u16 n_shards | u64 n | u32 base
+            | u32 pad (trailing filler bytes appended pre-transform so n
+              divides the shard count; stripped after inverse)
     table : 256 x u32 symbol histogram of L (the Huffman build is
             deterministic, entropy/huffman.py, so the decoder rebuilds the
             exact table from the histogram — the same determinism contract
@@ -95,14 +97,22 @@ def encode_megablock(
     generation: str = "a4",
     coder: str = "var",
 ) -> bytes:
-    """Sharded encode of one megablock.  ``len(data)`` must divide by the
-    shard count (callers pad; the CLI block layer handles framing)."""
+    """Sharded encode of one megablock of any length: inputs that do not
+    divide the shard count are padded with a deterministic non-repetitive
+    filler (recorded in the header, stripped on decode — an all-zero pad
+    would hand the suffix sorter a pathological tie run for free)."""
     if generation not in GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
     if coder not in CODERS:
         raise ValueError(f"unknown coder {coder!r}")
     ns = mesh.shape[AXIS]
     arr = np.frombuffer(bytes(data), np.uint8)
+    pad = (-len(arr)) % ns
+    if pad:
+        filler = (
+            (np.arange(pad, dtype=np.uint64) * 2654435761) >> 20
+        ).astype(np.uint8)
+        arr = np.concatenate([arr, filler])
     n = len(arr)
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
     # right-to-left comparisons = forward sort of the reversed text (the
@@ -131,7 +141,7 @@ def encode_megablock(
     out = [
         MAGIC,
         struct.pack(
-            "<BBHQI", GENERATIONS[generation], CODERS[coder], ns, n, base
+            "<BBHQII", GENERATIONS[generation], CODERS[coder], ns, n, base, pad
         ),
         hist.astype(np.uint32).tobytes(),
     ]
@@ -148,8 +158,8 @@ def decode_megablock(blob: bytes) -> bytes:
     path): per-shard entropy decode, concatenate L, native inverse BWT."""
     if blob[:4] != MAGIC:
         raise ValueError("bad magic")
-    gen_id, coder_id, ns, n, base = struct.unpack("<BBHQI", blob[4:20])
-    pos = 20
+    gen_id, coder_id, ns, n, base, pad = struct.unpack("<BBHQII", blob[4:24])
+    pos = 24
     hist = np.frombuffer(blob[pos : pos + 1024], np.uint32)
     pos += 1024
     if CODER_NAMES[coder_id] == "var":
@@ -181,10 +191,13 @@ def decode_megablock(blob: bytes) -> bytes:
     from .. import native
 
     if native.available():
-        return native.unbwt(L, base, gen_id == 1).tobytes()
-    from ..core.unbwt import bwt_inverse
+        out = native.unbwt(L, base, gen_id == 1).tobytes()
+    else:
+        from ..core.unbwt import bwt_inverse
 
-    rt = bwt_inverse(
-        jnp.asarray(L), jnp.int32(base), SENT_SMALL if gen_id == 0 else SENT_LARGE
-    )
-    return np.asarray(rt).tobytes()
+        rt = bwt_inverse(
+            jnp.asarray(L), jnp.int32(base),
+            SENT_SMALL if gen_id == 0 else SENT_LARGE,
+        )
+        out = np.asarray(rt).tobytes()
+    return out[: n - pad] if pad else out

@@ -16,6 +16,7 @@ reference README (reference README.md:5-7) are reproduced in spirit:
 from __future__ import annotations
 
 import os
+import sys
 
 import numpy as np
 
@@ -77,10 +78,40 @@ def text_like(n: int, seed: int = 7) -> bytes:
     return b"".join(chunks)[:n]
 
 
+_CORPUS_CANDIDATES = (
+    "/root/data/enwik8",
+    "/root/enwik8",
+    "/tmp/enwik8",
+    "/root/data/calgary.tar",
+    "/tmp/calgary.tar",
+)
+_logged_choice = None
+
+
 def load_or_synthesize(n: int) -> tuple[str, bytes]:
-    """Prefer a real benchmark corpus on disk; otherwise synthesize text."""
-    for cand in ("/root/data/enwik8", "/root/enwik8", "/tmp/enwik8"):
+    """Prefer a real benchmark corpus; otherwise synthesize text — and say so.
+
+    Search order: $ARCHON_CORPUS (explicit override), then the conventional
+    drop paths above.  This environment has no network egress, so the real
+    enwik8/Calgary named in BASELINE.md cannot be fetched here; every bench
+    run logs exactly which corpus it measured (the acquisition-attempt record
+    round-2 review asked for)."""
+    global _logged_choice
+    tried = []
+    explicit = os.environ.get("ARCHON_CORPUS")
+    for cand in ((explicit,) if explicit else ()) + _CORPUS_CANDIDATES:
         if os.path.exists(cand):
+            if _logged_choice != cand:
+                _logged_choice = cand
+                print(f"[corpus] using real corpus {cand}", file=sys.stderr)
             with open(cand, "rb") as f:
                 return os.path.basename(cand), f.read(n)
+        tried.append(cand)
+    if _logged_choice != "synthetic":
+        _logged_choice = "synthetic"
+        print(
+            f"[corpus] no real corpus found (tried {', '.join(tried)}; "
+            "no network egress) — synthesizing Markov-ish text",
+            file=sys.stderr,
+        )
     return "synthetic-text", text_like(n)

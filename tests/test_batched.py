@@ -206,3 +206,18 @@ def test_batched_v3_micro_only_batch(sentinel):
         want_L, want_base = golden.bwt_forward(rows[b], sentinel)
         assert L2[b].tolist() == want_L.tolist(), f"row {b}"
         assert int(base2[b]) == int(want_base), f"row {b}"
+
+
+def test_gauntlet_megascale_container_roundtrip():
+    """Gauntlet-class pathologies at published scale (1 MiB, not toy 4 KiB —
+    round-2 VERDICT #10): the production container must transform and invert
+    the worst repetition structures exactly, through whatever mix of fast
+    path and cascade fallback they trigger."""
+    from archon_tpu.io import blocks as ioblocks
+    from archon_tpu.utils.corpus import gauntlet_cases
+
+    cases = gauntlet_cases(1 << 20)
+    for name in ("fibonacci", "period2", "nested"):
+        data = cases[name]
+        blob = ioblocks.encode_file(data, "a4", block_size=1 << 18)
+        assert ioblocks.decode_file(blob) == data, name

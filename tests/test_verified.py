@@ -135,6 +135,24 @@ def test_resume_after_truncation(tmp_path):
     assert blocks.decode_file(part.read_bytes()) == data
 
 
+def test_checked_wrapper_surfaces_oob():
+    """utils/debug.checked: the checkify wrapper flags out-of-bounds gathers
+    that silent clamping would otherwise hide (the debug-build analog of the
+    reference's assert density)."""
+    import jax.numpy as jnp
+
+    from archon_tpu.utils.debug import checked
+
+    def gather(idx):
+        return jnp.arange(8)[idx].sum()
+
+    err, out = checked(gather)(jnp.array([1, 2, 3]))
+    err.throw()  # in-bounds: no error
+    err, out = checked(gather)(jnp.array([1, 2, 99]))
+    with pytest.raises(Exception):
+        err.throw()
+
+
 def test_poison_check_on_narrowed_path():
     """a5 DM_CHECK analog (utils/debug.poison_check): the final rank array
     of the narrowed pipeline must contain no surviving -1 pads."""
