@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.scan import blocked_cummax
 from .doubling import SENT_LARGE, SENT_SMALL
 
 _EXT_BASE = 512
@@ -37,7 +38,7 @@ def _row_iota(B: int, n: int):
 
 def _positional_ranks2(head: jnp.ndarray, iota2: jnp.ndarray):
     """Per-row rank-by-sorted-slot: position of the group head."""
-    return lax.cummax(jnp.where(head.astype(bool), iota2, 0), axis=1)
+    return blocked_cummax(jnp.where(head.astype(bool), iota2, 0))
 
 
 def _actives_from_heads2(head: jnp.ndarray):
@@ -284,7 +285,7 @@ def _bootstrap_sorted2(data2: jnp.ndarray, prev2: jnp.ndarray, sentinel: str):
         ],
         axis=1,
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota2, 0), axis=1)
+    ranks_sorted = blocked_cummax(jnp.where(head, iota2, 0))
     nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1)
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32), axis=1)
@@ -316,7 +317,7 @@ def _round_full_sorted2(si, rs, prev2, k, sentinel: str):
         ],
         axis=1,
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota2, 0), axis=1)
+    ranks_sorted = blocked_cummax(jnp.where(head, iota2, 0))
     nxt = jnp.concatenate([head[:, 1:], jnp.ones((B, 1), jnp.bool_)], axis=1)
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32), axis=1)

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.scan import blocked_cummax
 from .doubling import SENT_LARGE, SENT_SMALL, _invert_permutation
 
 _BIG = jnp.int32(0x7FFFFFFF)
@@ -109,7 +110,7 @@ def _bootstrap_round(data: jnp.ndarray, sentinel: str):
             | (k3_s[1:] != k3_s[:-1]),
         ]
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    ranks_sorted = blocked_cummax(jnp.where(head, iota, 0))
     rank = _invert_permutation(sorted_idx, ranks_sorted)
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
@@ -140,7 +141,7 @@ def _round_full_c(rank: jnp.ndarray, k, sentinel: str):
             | (r3_s[1:] != r3_s[:-1]),
         ]
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    ranks_sorted = blocked_cummax(jnp.where(head, iota, 0))
     new_rank = _invert_permutation(sorted_idx, ranks_sorted)
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
@@ -357,7 +358,7 @@ def _bootstrap_window_round(win: jnp.ndarray, w: int, sentinel: str):
             | (k3_s[1:] != k3_s[:-1]),
         ]
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    ranks_sorted = blocked_cummax(jnp.where(head, iota, 0))
     rank = _invert_permutation(sorted_idx, ranks_sorted)
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
@@ -436,7 +437,7 @@ def _bootstrap_sorted(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
             | (k3_s[1:] != k3_s[:-1]),
         ]
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    ranks_sorted = blocked_cummax(jnp.where(head, iota, 0))
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32))
@@ -477,7 +478,7 @@ def _round_full_sorted(si, rs, prev, k, sentinel: str):
             | (r3_s[1:] != r3_s[:-1]),
         ]
     )
-    ranks_sorted = lax.cummax(jnp.where(head, iota, 0))
+    ranks_sorted = blocked_cummax(jnp.where(head, iota, 0))
     nxt = jnp.concatenate([head[1:], jnp.ones((1,), jnp.bool_)])
     active_s = jnp.logical_not(head & nxt)
     nactive = jnp.sum(active_s.astype(jnp.int32))

@@ -40,6 +40,28 @@ BASELINE_MBPS = 500.0
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _BLOCKS_MARKER = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
 
+
+def program_hash() -> str:
+    """Hash of the sources defining the blocks device program.  The marker
+    stores this at compile time; a mismatch at bench time means the cache
+    entry no longer matches the code and stage 3 would be a cold multi-hour
+    relay compile — skip it rather than risk the round's bench (the round-1
+    rc=124 failure mode)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in (
+        "archon_tpu/core/batched.py",
+        "archon_tpu/core/fast2.py",
+        "archon_tpu/core/doubling.py",
+        "archon_tpu/ops/scan.py",
+    ):
+        p = os.path.join(_REPO, rel)
+        if os.path.exists(p):
+            with open(p, "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()[:16]
+
 # state shared with the watchdog: "results" maps priority -> latest complete
 # result dict at that priority; "printed" flips once a line has been emitted.
 # The HEADLINE is the highest-priority metric measured (production blocks
@@ -228,7 +250,9 @@ def main():
         # the program compiled at this (nblocks, bsz): refresh the marker
         os.makedirs(os.path.dirname(_BLOCKS_MARKER), exist_ok=True)
         with open(_BLOCKS_MARKER, "w") as fh:
-            json.dump({"nblocks": nblocks, "block": bsz}, fh)
+            json.dump(
+                {"nblocks": nblocks, "block": bsz, "hash": program_hash()}, fh
+            )
         return out
 
     def run_a6(size):
@@ -261,7 +285,15 @@ def main():
             try:
                 with open(_BLOCKS_MARKER) as fh:
                     m = json.load(fh)
-                out = run_blocks(m["nblocks"] * m["block"], m["block"]) or out
+                if m.get("hash", "") == program_hash():
+                    out = run_blocks(m["nblocks"] * m["block"], m["block"]) or out
+                else:
+                    print(
+                        "[bench] blocks program changed since last on-relay "
+                        "compile; skipping stage 3 (run "
+                        "scripts/compile_blocks_tpu.py to re-warm)",
+                        file=sys.stderr,
+                    )
             except Exception:
                 pass
         stage1 = min(size_cap, 1 << 24)
