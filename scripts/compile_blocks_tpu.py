@@ -87,6 +87,23 @@ def main():
         import bench as bench_mod
 
         cur_hash = bench_mod.program_hash()
+        # also warm the io-layer program (a distinct HLO: the container's
+        # jitted wrapper without the bench step's sum) so bench can measure
+        # `archon e` end-to-end without a cold compile
+        e2e_ok = False
+        if os.environ.get("ARCHON_WARM_E2E", "1") == "1":
+            from archon_tpu.io.blocks import encode_file
+
+            t0 = time.time()
+            try:
+                blob = encode_file(data[:size], "a4", block_size=bsz,
+                                   verify=False)
+                e2e_ok = True
+                print(f"[e2e] ({nblocks}, 2^{blog}) container encode "
+                      f"{size/1e6/(time.time()-t0):.1f} MB/s incl. "
+                      f"{time.time()-t0:.0f}s warm-up", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[e2e] warm failed: {type(e).__name__}: {e}", flush=True)
         # overwrite unconditionally when the program changed (the old number
         # belongs to a cache entry that no longer exists); otherwise keep the
         # best shape measured for this program
@@ -95,7 +112,7 @@ def main():
                 json.dump({"nblocks": nblocks, "block": bsz,
                            "mbps": round(mbps, 2),
                            "compile_s": round(compile_s, 1),
-                           "hash": cur_hash}, fh)
+                           "hash": cur_hash, "e2e": e2e_ok}, fh)
 
 
 if __name__ == "__main__":
