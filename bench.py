@@ -117,18 +117,26 @@ def _watchdog(deadline: float) -> None:
         os._exit(3)
 
 
+def _force(out):
+    """Force completion by fetching the last (small) output to host — the
+    relay's block_until_ready returns early, so an actual transfer is the
+    only reliable completion barrier.  Callers arrange for out[-1] to be a
+    scalar or a per-block vector, never the payload."""
+    return np.asarray(out[-1]).sum()
+
+
 def _measure(step, arr, size, metric, deadline, iters=3, extra=None, priority=0):
     """Compile + time one jitted step; record best-so-far after every iter."""
     t_c = time.time()
     out = step(arr)
-    int(out[-1])  # scalar fetch forces completion (relay block_until_ready lies)
+    _force(out)
     compile_s = round(time.time() - t_c, 1)
 
     times = []
     for _ in range(max(1, iters)):
         t0 = time.perf_counter()
         out = step(arr)
-        int(out[-1])
+        _force(out)
         times.append(time.perf_counter() - t0)
         mbps = size / 1e6 / min(times)
         res = {
@@ -153,7 +161,7 @@ def _measure(step, arr, size, metric, deadline, iters=3, extra=None, priority=0)
         t0 = time.perf_counter()
         for _ in range(K):
             out = step(arr)
-        int(out[-1])
+        _force(out)
         pipe_mbps = K * size / 1e6 / (time.perf_counter() - t0)
         if pipe_mbps > size / 1e6 / min(times):
             res = dict(res)
@@ -165,14 +173,12 @@ def _measure(step, arr, size, metric, deadline, iters=3, extra=None, priority=0)
 
 
 def _v3_step(fwd):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
+    # direct call of the decorated function (no outer jit): cache entries
+    # are shared with any library-path caller; out[-1] (base, an int32
+    # scalar) is the completion-forcing fetch
     def step(x):
         out = fwd(x, "small")
-        L, base = out[0], out[1]
-        return L, base, L.astype(jnp.int32).sum() + base
+        return out[0], out[1]
 
     return step
 
@@ -237,10 +243,12 @@ def main():
         size = nblocks * bsz
         arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
 
-        @jax.jit
+        # NO outer jit wrapper: calling the decorated bwt_batched_micro
+        # directly shares its cache entry with the container's io path, so
+        # one relay compile serves both the bench step and `archon e`.
+        # out[-1] is the per-block resolved vector — a tiny fetch.
         def step(x):
-            L2, base2, resolved = bwt_batched_micro(x, "small")
-            return L2, base2, L2.astype(jnp.int32).sum() + base2.sum()
+            return bwt_batched_micro(x, "small")
 
         out = _measure(
             step, arr, size,
@@ -261,10 +269,8 @@ def main():
         arr = jnp.asarray(np.frombuffer(data[:size], dtype=np.uint8))
         code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
 
-        @jax.jit
         def step(x):
-            out, base = _a6_symbol_transform(x, code_map)
-            return out, base, out.astype(jnp.int32).sum() + base
+            return _a6_symbol_transform(x, code_map)
 
         return _measure(
             step, arr, size, f"a6_byte_bwt_{name}_{size >> 20}MiB",

@@ -43,15 +43,19 @@ def main():
         name, data = load_or_synthesize(size)
         arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
 
-        @jax.jit
+        # direct call of the decorated program — the SAME cache entry serves
+        # bench stage 3 and the container io path; completion forced by
+        # fetching the tiny per-block resolved vector
         def step(x):
-            L2, base2, resolved = bwt_batched_micro(x, "small")
-            return L2, base2, resolved, L2.astype(jnp.int32).sum() + base2.sum()
+            return bwt_batched_micro(x, "small")
+
+        def force(out):
+            return np.asarray(out[-1]).sum()
 
         print(f"[compile] ({nblocks}, 2^{blog}) = {size >> 20} MiB ...", flush=True)
         t0 = time.time()
         out = step(arr)
-        int(out[-1])  # force completion (relay block_until_ready returns early)
+        force(out)
         compile_s = time.time() - t0
         print(f"[compile] done in {compile_s:.0f}s; resolved={np.asarray(out[2]).all()}",
               flush=True)
@@ -59,7 +63,7 @@ def main():
         for _ in range(3):
             t0 = time.perf_counter()
             out = step(arr)
-            int(out[-1])
+            force(out)
             times.append(time.perf_counter() - t0)
         # pipelined throughput: K back-to-back dispatches, ONE trailing fetch.
         # This is how the production container actually runs blocks — the
@@ -69,7 +73,7 @@ def main():
         t0 = time.perf_counter()
         for _ in range(K):
             out = step(arr)
-        int(out[-1])
+        force(out)
         pipe_s = time.perf_counter() - t0
         mbps = max(size / 1e6 / min(times), K * size / 1e6 / pipe_s)
         print(f"[timing] ({nblocks}, 2^{blog}): single {min(times)*1e3:.0f} ms, "
@@ -87,9 +91,9 @@ def main():
         import bench as bench_mod
 
         cur_hash = bench_mod.program_hash()
-        # also warm the io-layer program (a distinct HLO: the container's
-        # jitted wrapper without the bench step's sum) so bench can measure
-        # `archon e` end-to-end without a cold compile
+        # drive the container io layer once: it calls the SAME decorated
+        # program (cache hit), so this is cheap and proves `archon e` runs
+        # end-to-end warm
         e2e_ok = False
         if os.environ.get("ARCHON_WARM_E2E", "1") == "1":
             from archon_tpu.io.blocks import encode_file
