@@ -241,7 +241,12 @@ def main():
         nblocks = max(1, size // blk)
         bsz = min(blk, size)
         size = nblocks * bsz
-        arr = jnp.asarray(np.frombuffer(data[:size], np.uint8).reshape(nblocks, bsz))
+        blk_data = data
+        if len(blk_data) < size:  # marker shape can exceed BENCH_SIZE
+            _, blk_data = load_or_synthesize(size)
+        arr = jnp.asarray(
+            np.frombuffer(blk_data[:size], np.uint8).reshape(nblocks, bsz)
+        )
 
         # NO outer jit wrapper: calling the decorated bwt_batched_micro
         # directly shares its cache entry with the container's io path, so
@@ -325,8 +330,11 @@ def main():
 
             nb, bs = warm_shape
             e2e_n = nb * bs  # exactly the cache-warm program shape
+            e2e_data = data
+            if len(e2e_data) < e2e_n:
+                _, e2e_data = load_or_synthesize(e2e_n)
             t0 = time.perf_counter()
-            blob = encode_file(data[:e2e_n], "a4", block_size=bs, verify=False)
+            blob = encode_file(e2e_data[:e2e_n], "a4", block_size=bs, verify=False)
             dt = time.perf_counter() - t0
             _record_extra("container_encode_e2e_mbps", round(e2e_n / 1e6 / dt, 2))
             _record_extra("container_ratio", round(len(blob) / e2e_n, 4))
