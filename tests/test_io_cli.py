@@ -129,3 +129,21 @@ def test_cli_dp_sp_impl_flags(tmp_path):
         assert main(["e", str(src), str(enc)] + extra) == 0
         assert main(["d", str(enc), str(dec)]) == 0
         assert dec.read_bytes() == data, extra
+
+
+def test_corpus_env_override(tmp_path, monkeypatch):
+    """$ARCHON_CORPUS points the bench corpus loader at a real file; absent
+    that, it logs the acquisition attempt and synthesizes (round-2 VERDICT
+    missing #4: corpus honesty)."""
+    import importlib
+
+    from archon_tpu.utils import corpus
+
+    real = tmp_path / "enwik8"
+    real.write_bytes(b"x" * 1000)
+    monkeypatch.setenv("ARCHON_CORPUS", str(real))
+    name, data = corpus.load_or_synthesize(500)
+    assert name == "enwik8" and data == b"x" * 500
+    monkeypatch.delenv("ARCHON_CORPUS")
+    name, data = corpus.load_or_synthesize(500)
+    assert name == "synthetic-text" and len(data) == 500
