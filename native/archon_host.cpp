@@ -81,9 +81,10 @@ static int walk_threads(int64_t n) {
 }
 
 // Parallel build of the packed successor table T (u32: successor<<8 | byte).
+// Computes the bucket starts itself from its per-chunk histograms (one
+// parallel pass serves both jobs — no separate serial histogram).
 static void build_packed_table(const uint8_t* L, int64_t n, int64_t base,
-                               int sentinel_large, const int64_t* R,
-                               uint32_t* T, int nthreads) {
+                               int sentinel_large, uint32_t* T, int nthreads) {
     const uint8_t cb = L[base];
     std::vector<std::vector<int64_t>> hist((size_t)nthreads,
                                            std::vector<int64_t>(256, 0));
@@ -99,6 +100,16 @@ static void build_packed_table(const uint8_t* L, int64_t n, int64_t base,
         for (int t = 1; t < nthreads; ++t) ts.emplace_back(histo, t);
         histo(0);
         for (auto& th : ts) th.join();
+    }
+    // bucket starts R from the chunk hists (re-adding base's count)
+    int64_t R[256];
+    {
+        int64_t k = n;
+        for (int c = 256; c--;) {
+            int64_t total = (c == cb) ? 1 : 0;
+            for (int t = 0; t < nthreads; ++t) total += hist[(size_t)t][(size_t)c];
+            R[c] = (k -= total);
+        }
     }
     // exclusive combine: chunk t's rank window per symbol
     std::vector<std::vector<int64_t>> off((size_t)nthreads,
@@ -222,20 +233,23 @@ static int segmented_walk(const uint32_t* T, int64_t n, int64_t base,
 int archon_unbwt(const uint8_t* L, int64_t n, int64_t base, int sentinel_large,
                  int32_t* P, uint8_t* out) {
     if (n <= 0 || base < 0 || base >= n) return n == 0 ? 0 : -1;
+    if (n <= (int64_t)1 << 24) {
+        // packed successor table in the P scratch (fits u32 up to 2^24,
+        // the 16 MiB production block ceiling)
+        const int nthreads = walk_threads(n);
+        if (nthreads > 1) {  // histograms its own chunks; no serial R pass
+            uint32_t* T = (uint32_t*)P;
+            build_packed_table(L, n, base, sentinel_large, T, nthreads);
+            return segmented_walk(T, n, base, out, nthreads);
+        }
+    }
     int64_t R[256] = {};
     for (int64_t i = 0; i < n; ++i) ++R[L[i]];
     int64_t k = n;
     for (int c = 256; c--;) R[c] = (k -= R[c]);
 
     if (n <= (int64_t)1 << 24) {
-        // packed successor table in the P scratch (fits u32 up to 2^24,
-        // the 16 MiB production block ceiling)
         uint32_t* T = (uint32_t*)P;
-        const int nthreads = walk_threads(n);
-        if (nthreads > 1) {
-            build_packed_table(L, n, base, sentinel_large, R, T, nthreads);
-            return segmented_walk(T, n, base, out, nthreads);
-        }
         if (sentinel_large) {
             for (int64_t i = 0; i < base; ++i)
                 T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
