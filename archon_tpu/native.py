@@ -28,11 +28,26 @@ def _build_lib():
     _TRIED = True
     if not _SRC.exists():
         return None
+    # ARCHON_NATIVE_DEBUG=1 builds the sanitizer variant (the ASAN/UBSAN-era
+    # equivalent of the reference's debug/valgrind Makefile targets,
+    # bwt/a7/Makefile:7-17, SURVEY section 4.4).  Because the .so is
+    # dlopened into an uninstrumented python, run with
+    #   LD_PRELOAD=$(g++ -print-file-name=libasan.so) ASAN_OPTIONS=detect_leaks=0
+    # (verified: the parallel decode paths run clean under ASAN+UBSAN)
+    debug = os.environ.get("ARCHON_NATIVE_DEBUG") == "1"
     tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    if debug:
+        tag += "-dbg"
     out = Path(tempfile.gettempdir()) / f"archon_host_{tag}.so"
     if not out.exists():
+        flags = (
+            ["-g", "-O1", "-fsanitize=address,undefined",
+             "-fno-omit-frame-pointer"]
+            if debug
+            else ["-O3", "-march=native"]
+        )
         cmd = [
-            "g++", "-O3", "-shared", "-fPIC", "-march=native", "-pthread",
+            "g++", "-shared", "-fPIC", "-pthread", *flags,
             "-o", str(out), str(_SRC),
         ]
         try:
