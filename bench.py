@@ -370,6 +370,15 @@ def main():
             )
             ref_mbps = round(ref_n / 1e6 / (time.perf_counter() - t0), 2)
             _record_extra("ref_a4_encode_mbps", ref_mbps)
+            t0 = time.perf_counter()
+            subprocess.run(
+                [exe, "d", "/tmp/bench_ref.enc", "/tmp/bench_ref.dec"],
+                check=True, capture_output=True, timeout=120,
+            )
+            _record_extra(
+                "ref_a4_decode_mbps",
+                round(ref_n / 1e6 / (time.perf_counter() - t0), 2),
+            )
     except Exception:
         pass
 
