@@ -312,12 +312,6 @@ def main():
                     )
             except Exception:
                 pass
-        stage1 = min(size_cap, 1 << 24)
-        if time.time() < deadline - 150:
-            out = run_v3(stage1, priority=1) or out
-        if size_cap > stage1 and time.time() < deadline - 150:
-            out = run_v3(size_cap, priority=2) or out
-
     # container end-to-end (VERDICT r2 #1): the actual `archon e` path —
     # device transform + host framing + device->host payload fetch.  On this
     # relay the fetch crawls at 15-50 MB/s (docs/PERF.md), so this number is
@@ -411,6 +405,17 @@ def main():
                 _record_extra("decode_native_mbps", round(L.size / 1e6 / dt, 2))
     except Exception:
         pass
+
+    # whole-file v3 stages LAST (staged auto mode): their fast2 source may
+    # have changed since the cache was warmed, and a cold v3 compile must not
+    # cost the headline or the host-side extras recorded above (the watchdog
+    # emits everything recorded so far if a compile eats the budget)
+    if impl == "":
+        stage1 = min(size_cap, 1 << 24)
+        if time.time() < deadline - 150:
+            out = run_v3(stage1, priority=1) or out
+        if size_cap > stage1 and time.time() < deadline - 150:
+            out = run_v3(size_cap, priority=2) or out
 
     _emit()
 
