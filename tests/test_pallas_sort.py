@@ -81,6 +81,25 @@ def test_three_keys():
     assert np.array_equal(np.asarray(outs[3]), pay[order])
 
 
+def test_five_keys_quad_round_shape():
+    """The quad round's drop-in shape: 4 rank keys + iota as the 5th key
+    (the bitonic network is not stable, so the iota tie-breaker must be a
+    key, not a payload) — the configuration scripts/measure_r3.py times."""
+    rng = np.random.default_rng(5)
+    n = 3 * TILE + 57
+    ranks = [rng.integers(0, 6, n).astype(np.int32) for _ in range(4)]
+    iota = np.arange(n, dtype=np.int32)
+    outs = sort_operands(
+        tuple(jnp.asarray(o) for o in (*ranks, iota)),
+        num_keys=5,
+        tile=TILE,
+        interpret=True,
+    )
+    order = np.lexsort((iota, ranks[3], ranks[2], ranks[1], ranks[0]))
+    for got, src in zip(outs, [*ranks, iota]):
+        assert np.array_equal(np.asarray(got), src[order])
+
+
 def test_sort_tiles_independent():
     rng = np.random.default_rng(4)
     n = 4 * TILE
