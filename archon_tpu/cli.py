@@ -79,7 +79,11 @@ def main(argv=None):
     g6.add_argument("-r", "--radix", type=int, default=16,
                     help="accepted for reference compatibility; output is radix-independent")
     g6.add_argument("-o", "--order", default="none",
-                    help="alphabet reorder (reference parses but never applies it; ditto here)")
+                    choices=["none", "freq", "greedy", "topo", "bubble"],
+                    help="alphabet reorder heuristic (the reference parses -o "
+                    "but never applies it; here non-none IS applied and "
+                    "produces an extension blob carrying the 256-byte table "
+                    "— pass the same -o to -u)")
     g6.add_argument("-u", "--unpack", action="store_true")
 
     for mode in ("e", "d"):
@@ -132,9 +136,9 @@ def main(argv=None):
         from .core import a6 as core_a6
 
         if args.unpack:
-            _rw(args, lambda d: core_a6.a6_decode(d, cfg.coder))
+            _rw(args, lambda d: core_a6.a6_decode(d, cfg.coder, order=cfg.order))
         else:
-            _rw(args, lambda d: core_a6.a6_encode(d, cfg.coder))
+            _rw(args, lambda d: core_a6.a6_encode(d, cfg.coder, order=cfg.order))
     else:
         from .io import blocks
 

@@ -165,13 +165,37 @@ def a6_forward(data: bytes | np.ndarray, config: str = "byte"):
     return np.asarray(out), int(base)
 
 
-def a6_encode(data: bytes, config: str = "byte") -> bytes:
-    """a6-format blob (u32-LE base first, then N payload bytes)."""
-    out, base = a6_forward(data, config)
-    return np.uint32(base).tobytes() + out.tobytes()
+def a6_encode(data: bytes, config: str = "byte", order: str = "none") -> bytes:
+    """a6-format blob (u32-LE base first, then N payload bytes).
+
+    ``order`` != "none" remaps the alphabet through the chosen heuristic
+    (entropy/order.py; the reference parses ``-o`` but never applies it,
+    a6/src/main.c:33-41 / bwt.c:69-77) before the transform.  The remapped
+    blob is an EXTENSION format: a 256-byte destination table precedes the
+    base so the decoder can undo the remap — not byte-comparable with the
+    reference binary (the ``none`` default stays byte-exact)."""
+    if order == "none":
+        out, base = a6_forward(data, config)
+        return np.uint32(base).tobytes() + out.tobytes()
+    from ..entropy.order import order_table
+
+    arr = np.frombuffer(bytes(data), np.uint8)
+    dc = order_table(arr, order)
+    inv = np.empty(256, np.uint8)
+    inv[dc] = np.arange(256, dtype=np.uint8)
+    out, base = a6_forward(inv[arr], config)
+    return dc.tobytes() + np.uint32(base).tobytes() + out.tobytes()
 
 
-def a6_decode(blob: bytes, config: str = "byte") -> bytes:
+def a6_decode(blob: bytes, config: str = "byte", order: str = "none") -> bytes:
+    if order != "none":
+        dc = np.frombuffer(blob[:256], np.uint8)
+        inner = _a6_decode_raw(blob[256:], config)
+        return dc[np.frombuffer(inner, np.uint8)].tobytes()
+    return _a6_decode_raw(blob, config)
+
+
+def _a6_decode_raw(blob: bytes, config: str = "byte") -> bytes:
     """Invert an a6 blob on device (byte/fix); var uses code-ordered buckets
     (correct inverse; the reference's -u is broken for var, see golden/a6.py)."""
     base = int(np.frombuffer(blob[:4], np.uint32)[0])

@@ -2,10 +2,13 @@
 
 NOTE: in the committed reference these are configured via ``-o`` but never
 invoked (main.c stores ``f_order`` and no call site exists; the one intended
-call site is commented out in bwt_start_fixed, bwt.c:69-77), so they do not
-affect any output.  They are ported for component parity and for use as an
-*actually wired* option in our CLI (off by default to preserve
-byte-exactness).
+call site is commented out in bwt_start_fixed, bwt.c:69-77), so they never
+affect reference output.  Here they ARE wired: ``archon a6 -o <name>``
+remaps the alphabet through the chosen heuristic before the a6 transform
+(core/a6.py applies it; off by default).  Because the reference never
+applies a reorder, any ``-o`` other than ``none`` is an extension format —
+the blob carries the 256-byte destination table and is NOT byte-comparable
+with the reference binary (the ``none`` default stays byte-exact).
 
 All operate on the digram statistics matrix R2 built by ``order_init``
 (order.c:34-44): R2[a][c] counts occurrences of symbol ``a`` whose most
@@ -18,14 +21,28 @@ import numpy as np
 
 
 def order_init(data: np.ndarray) -> np.ndarray:
-    """Run-collapsed digram stats (order.c:34-44)."""
+    """Run-collapsed digram stats (order.c:34-44), vectorized.
+
+    Scalar semantics (the reference loop): state ``b`` = previous symbol,
+    ``c`` = most recent symbol different from ``b``, both starting at 0xFF;
+    for each ``a``: if ``a != b`` then ``c, b = b, a``; R2[a][c] += 1.
+    Every element of a run therefore contributes R2[run_sym][prev_run_sym],
+    with the virtual pre-start run being 0xFF (a leading 0xFF run merges
+    with it), which is what the run-length form below computes."""
     R2 = np.zeros((256, 256), np.int64)
-    b = c = 0xFF
-    for a in data.tolist():
-        if a != b:
-            c = b
-            b = a
-        R2[a][c] += 1
+    d = np.asarray(data, np.uint8)
+    if len(d) == 0:
+        return R2
+    change = np.empty(len(d), bool)
+    change[0] = True
+    change[1:] = d[1:] != d[:-1]
+    idx = np.nonzero(change)[0]
+    runs = d[idx].astype(np.int64)
+    counts = np.diff(np.append(idx, len(d)))
+    prev = np.empty(len(runs), np.int64)
+    prev[0] = 0xFF
+    prev[1:] = runs[:-1]
+    np.add.at(R2, (runs, prev), counts)
     return R2
 
 
@@ -117,6 +134,18 @@ def order_topo(R2: np.ndarray, dc: np.ndarray) -> np.ndarray:
             stack_out.append(elem)
     # reference writes post-order into stack slots bottom-up
     return np.array(stack_out[: nd], dtype=dc.dtype)
+
+
+def order_table(data: np.ndarray, order: str) -> np.ndarray:
+    """256-entry destination table ``dc`` for ``order`` on ``data``: slot i
+    holds the symbol assigned new code i (the reference's dispatch shape,
+    a6/src/main.c:33-41).  Always a permutation of 0..255."""
+    if order not in ORDER_FUNCTIONS:
+        raise ValueError(f"unknown order {order!r}")
+    dc = np.arange(256, dtype=np.int64)
+    if order != "none":
+        dc = ORDER_FUNCTIONS[order](order_init(data), dc)
+    return np.asarray(dc, np.uint8)
 
 
 ORDER_FUNCTIONS = {

@@ -168,7 +168,7 @@ def decode_megablock(blob: bytes) -> bytes:
         codes = build_encoder_byte()
     S = n // ns
 
-    from ..entropy.coder import decode_stream
+    from .. import native
 
     if not any(c.length for c in codes):
         # single-symbol alphabet: the Huffman code is zero-length (as the
@@ -178,17 +178,45 @@ def decode_megablock(blob: bytes) -> bytes:
         L = np.full(n, sym, np.uint8)
         pos += 4 * ns  # skip the ns zero-nbits frames
     else:
-        parts = []
+        frames = []  # (nbits, stream_bytes) per shard
         for _ in range(ns):
             (nbits,) = struct.unpack("<I", blob[pos : pos + 4])
             pos += 4
             nbytes = (nbits + 7) // 8
-            stream = np.frombuffer(blob[pos : pos + nbytes], np.uint8)
+            frames.append((nbits, np.frombuffer(blob[pos : pos + nbytes], np.uint8)))
             pos += nbytes
-            parts.append(decode_stream(stream, nbits, codes, S))
-        L = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        if native.available():
+            # native first-bits decoder (a6/src/coder.c:130-209 semantics),
+            # thread-pooled per shard: bitunpack releases the GIL, so shards
+            # decode on all cores — the recovery path must keep pace with
+            # decode_native_mbps, not the O(n*len) python bit walk
+            vals = np.array([c.code for c in codes], np.uint32)
+            lens = np.array([c.length for c in codes], np.uint8)
 
-    from .. import native
+            def unpack_one(frame):
+                nbits, stream = frame
+                nwords = (nbits + 31) // 32
+                buf = np.zeros((nwords + 2) * 4, np.uint8)
+                buf[: len(stream)] = stream
+                return native.bitunpack(buf.view(np.uint32), nbits, vals, lens, S)
+
+            if ns > 1:
+                import os
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(ns, os.cpu_count() or 1)
+                ) as ex:
+                    parts = list(ex.map(unpack_one, frames))
+            else:
+                parts = [unpack_one(frames[0])]
+        else:
+            from ..entropy.coder import decode_stream
+
+            parts = [
+                decode_stream(stream, nbits, codes, S) for nbits, stream in frames
+            ]
+        L = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
 
     if native.available():
         out = native.unbwt(L, base, gen_id == 1).tobytes()

@@ -78,6 +78,56 @@ def text_like(n: int, seed: int = 7) -> bytes:
     return b"".join(chunks)[:n]
 
 
+def markup_like(n: int, seed: int = 11) -> bytes:
+    """XML/wiki-ish markup text — the structural corpus class enwik8 actually
+    is (a Wikipedia XML dump: nested tags, [[links]], entities, indented
+    attribute lines) that plain ``text_like`` lacks (VERDICT r3 #10).
+
+    Tie structure vs text_like: heavy *exact* medium-length repeats (every
+    ``<page>``/``<revision>`` skeleton is byte-identical) drive tie depth at
+    k in the tens-to-hundreds, while the word soup between tags keeps the
+    deep tail bounded — matching enwik8's profile more closely than pure
+    word soup.  Prefix-stable for any n (fixed seed, chunked generation)."""
+    rng = np.random.default_rng(seed)
+    words = (
+        "the of and to in a is that it was for on are as with his they at be "
+        "this have from or one had by word but not what all were we when your "
+        "archon suffix sort burrows wheeler transform wikipedia article"
+    ).split()
+    probs = 1.0 / np.arange(1, len(words) + 1) ** 1.1
+    probs /= probs.sum()
+    chunks = []
+    total = 0
+    page = 0
+    while total < n:
+        page += 1
+        title = " ".join(words[i] for i in rng.choice(len(words), 2, p=probs))
+        body_words = rng.choice(len(words), size=96, p=probs)
+        body = []
+        for t, i in enumerate(body_words):
+            w = words[i]
+            r = rng.random()
+            if r < 0.06:
+                w = "[[" + w + "]]"
+            elif r < 0.09:
+                w = "''" + w + "''"
+            elif r < 0.11:
+                w = "&amp;" + w + ";"
+            body.append(w)
+        chunk = (
+            f"  <page>\n    <title>{title}</title>\n    <id>{page}</id>\n"
+            f"    <revision>\n      <id>{page * 7}</id>\n"
+            f"      <timestamp>2006-0{1 + page % 9}-1{page % 10}T0{page % 10}:"
+            f"00:00Z</timestamp>\n      <contributor><username>{words[int(body_words[0])]}"
+            f"</username></contributor>\n      <text xml:space=\"preserve\">"
+            + " ".join(body)
+            + "</text>\n    </revision>\n  </page>\n"
+        ).encode()
+        chunks.append(chunk)
+        total += len(chunk)
+    return b"".join(chunks)[:n]
+
+
 _CORPUS_CANDIDATES = (
     "/root/data/enwik8",
     "/root/enwik8",
@@ -107,11 +157,14 @@ def load_or_synthesize(n: int) -> tuple[str, bytes]:
             with open(cand, "rb") as f:
                 return os.path.basename(cand), f.read(n)
         tried.append(cand)
+    style = os.environ.get("ARCHON_CORPUS_STYLE", "text")
     if _logged_choice != "synthetic":
         _logged_choice = "synthetic"
         print(
             f"[corpus] no real corpus found (tried {', '.join(tried)}; "
-            "no network egress) — synthesizing Markov-ish text",
+            f"no network egress) — synthesizing {style} corpus",
             file=sys.stderr,
         )
+    if style == "markup":
+        return "synthetic-markup", markup_like(n)
     return "synthetic-text", text_like(n)

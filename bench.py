@@ -39,28 +39,74 @@ import numpy as np
 BASELINE_MBPS = 500.0
 _REPO = os.path.dirname(os.path.abspath(__file__))
 _BLOCKS_MARKER = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
+_A6_MARKER = os.path.join(_REPO, ".jax_cache", "a6_warm.marker")
 
 
-def program_hash() -> str:
-    """Hash of the sources defining the blocks device program.  The marker
-    stores this at compile time; a mismatch at bench time means the cache
-    entry no longer matches the code and stage 3 would be a cold multi-hour
-    relay compile — skip it rather than risk the round's bench (the round-1
-    rc=124 failure mode)."""
+_BLOCKS_SOURCES = (
+    "archon_tpu/core/batched.py",
+    "archon_tpu/core/fast2.py",
+    "archon_tpu/core/doubling.py",
+    "archon_tpu/ops/scan.py",
+)
+_A6_SOURCES = _BLOCKS_SOURCES + (
+    "archon_tpu/core/a6.py",
+    "archon_tpu/ops/bitpack.py",
+    "archon_tpu/entropy/huffman.py",
+)
+
+
+def _file_hashes(sources) -> dict:
     import hashlib
 
-    h = hashlib.sha256()
-    for rel in (
-        "archon_tpu/core/batched.py",
-        "archon_tpu/core/fast2.py",
-        "archon_tpu/core/doubling.py",
-        "archon_tpu/ops/scan.py",
-    ):
+    out = {}
+    for rel in sources:
         p = os.path.join(_REPO, rel)
         if os.path.exists(p):
             with open(p, "rb") as fh:
-                h.update(fh.read())
+                out[rel] = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return out
+
+
+def _combined(hashes: dict) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in sorted(hashes):
+        h.update(hashes[rel].encode())
     return h.hexdigest()[:16]
+
+
+def program_hash(sources=_BLOCKS_SOURCES) -> str:
+    """Hash of the sources defining a warmed device program.  The marker
+    stores this (plus per-file hashes) at compile time; a mismatch at bench
+    time means the cache entry no longer matches the code and the stage
+    would be a cold multi-hour relay compile — skip it rather than risk the
+    round's bench (the round-1 rc=124 failure mode)."""
+    return _combined(_file_hashes(sources))
+
+
+def warn_stale(marker: dict, sources, stage: str, script: str) -> None:
+    """LOUD drift report: name exactly which warmed source files changed so
+    the fix (one re-warm run, < 1 relay session) is obvious — a silent skip
+    cost round 3 its attribution numbers (VERDICT r3 #8)."""
+    cur = _file_hashes(sources)
+    old = marker.get("files", {})
+    changed = sorted(
+        set(k for k in cur if cur.get(k) != old.get(k))
+        | (set(old) - set(cur))
+    ) or ["(per-file hashes missing from marker; any of the sources)"]
+    sep = "!" * 72
+    print(
+        f"{sep}\n[bench] STALE COMPILE CACHE for stage '{stage}': the warmed "
+        f"program no longer matches the source.  Changed files:\n"
+        + "".join(f"[bench]     {c}\n" for c in changed)
+        + f"[bench] The {stage} metric is SKIPPED this run.  Re-warm with:\n"
+        f"[bench]     python {script}\n"
+        f"[bench] (one relay session; the persistent cache at .jax_cache "
+        f"makes the next bench run execute-only)\n{sep}",
+        file=sys.stderr,
+        flush=True,
+    )
 
 # state shared with the watchdog: "results" maps priority -> latest complete
 # result dict at that priority; "printed" flips once a line has been emitted.
@@ -264,7 +310,8 @@ def main():
         os.makedirs(os.path.dirname(_BLOCKS_MARKER), exist_ok=True)
         with open(_BLOCKS_MARKER, "w") as fh:
             json.dump(
-                {"nblocks": nblocks, "block": bsz, "hash": program_hash()}, fh
+                {"nblocks": nblocks, "block": bsz, "hash": program_hash(),
+                 "files": _file_hashes(_BLOCKS_SOURCES)}, fh
             )
         return out
 
@@ -280,6 +327,52 @@ def main():
         return _measure(
             step, arr, size, f"a6_byte_bwt_{name}_{size >> 20}MiB",
             deadline, iters,
+        )
+
+    def run_a6_extras(marker):
+        """a6 compressor device throughput (VERDICT r3 #4): byte config on
+        the symbol fast path, var (Huffman) on the bit-domain path — run
+        only against a warm cache (scripts/warm_a6.py), recorded as
+        a6_*_mbps fields.  Ref: a6/src/bwt.c:349-439."""
+        from archon_tpu.core.a6 import (
+            _a6_symbol_transform,
+            _a6_transform,
+            _code_arrays,
+            build_codes,
+        )
+
+        def timed(step, arr, size, key):
+            out = step(arr)
+            float(out[-1])  # warm-cache compile + completion force
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                out = step(arr)
+                float(out[-1])
+                times.append(time.perf_counter() - t0)
+            _record_extra(key, round(size / 1e6 / min(times), 2))
+
+        bsize = int(marker.get("byte_size", 1 << 24))
+        d = data
+        if len(d) < bsize:
+            _, d = load_or_synthesize(bsize)
+        arr = jnp.asarray(np.frombuffer(d[:bsize], np.uint8))
+        code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
+        timed(
+            lambda x: _a6_symbol_transform(x, code_map), arr, bsize,
+            "a6_byte_bwt_mbps",
+        )
+
+        vsize = int(marker.get("var_size", 1 << 22))
+        npdata = np.frombuffer(d[:vsize], np.uint8)
+        codes = build_codes(npdata, "var")
+        freq = np.bincount(npdata, minlength=256)
+        max_len = max(codes[i].length for i in range(256) if freq[i])
+        vals, lens = _code_arrays(codes)
+        arrv = jnp.asarray(npdata)
+        timed(
+            lambda x: _a6_transform(x, vals, lens, max_len=int(max_len)),
+            arrv, vsize, "a6_var_bwt_mbps",
         )
 
     out = None
@@ -304,11 +397,9 @@ def main():
                         warm_shape = (m["nblocks"], m["block"])
                     out = run_blocks(m["nblocks"] * m["block"], m["block"]) or out
                 else:
-                    print(
-                        "[bench] blocks program changed since last on-relay "
-                        "compile; skipping stage 3 (run "
-                        "scripts/compile_blocks_tpu.py to re-warm)",
-                        file=sys.stderr,
+                    warn_stale(
+                        m, _BLOCKS_SOURCES, "blocks",
+                        "scripts/compile_blocks_tpu.py",
                     )
             except Exception:
                 pass
@@ -334,6 +425,19 @@ def main():
             _record_extra("container_ratio", round(len(blob) / e2e_n, 4))
     except Exception:
         pass
+
+    # a6 compressor stages (byte 16 MiB + var 4 MiB), warm-cache gated like
+    # blocks: scripts/warm_a6.py writes the marker after an on-relay compile
+    try:
+        if impl == "" and os.path.exists(_A6_MARKER) and time.time() < deadline - 90:
+            with open(_A6_MARKER) as fh:
+                am = json.load(fh)
+            if am.get("hash") == program_hash(_A6_SOURCES):
+                run_a6_extras(am)
+            else:
+                warn_stale(am, _A6_SOURCES, "a6", "scripts/warm_a6.py")
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] a6 stage failed: {type(e).__name__}: {e}", file=sys.stderr)
 
     # bonus metric with leftover budget: the reference a4 binary itself on
     # the SAME data and host (single-core CPU, the hardware class it was

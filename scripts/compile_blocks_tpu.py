@@ -116,7 +116,10 @@ def main():
                 json.dump({"nblocks": nblocks, "block": bsz,
                            "mbps": round(mbps, 2),
                            "compile_s": round(compile_s, 1),
-                           "hash": cur_hash, "e2e": e2e_ok}, fh)
+                           "hash": cur_hash,
+                           "files": bench_mod._file_hashes(
+                               bench_mod._BLOCKS_SOURCES),
+                           "e2e": e2e_ok}, fh)
 
 
 if __name__ == "__main__":
