@@ -32,12 +32,15 @@ surviving-tie count is fetched, so the host sync overlaps device execution
 (at most one wasted round).  Rounds are compiled per static k (the halo
 ring distances must be static for ppermute); builders are cached.
 
-Scale notes: traffic per round per shard is 3S (halo) + 5S*stages +
-2S*stages — more raw volume than an all_gather at tiny shard counts but
-O(S) memory and ICI-only neighbor traffic.  On real TPU pods the sampled
-all_to_all route (lax.ragged_all_to_all) is the bandwidth-optimal upgrade;
-it is UNIMPLEMENTED on XLA:CPU (verified here), so this portable network —
-which the driver dry-runs on a CPU mesh — stays the default.
+Scale notes: the exact wire/compute model (bytes/round/shard for
+merge-split vs all_gather vs ragged_all_to_all at ns in {8,64,256},
+n in {2^24, 2^27}, against ICI/DCN link rates) lives in docs/PERF.md
+"megablock traffic model".  Headline: the network is COMPUTE-bound
+(per-stage 2S-wide re-sorts), not wire-bound, at every modeled point;
+lax.ragged_all_to_all is the O(stages)->O(1) stage-compute upgrade to
+port on real pods (it is UNIMPLEMENTED on XLA:CPU, verified here, so
+this portable network — which the driver dry-runs on a CPU mesh —
+stays the default).
 """
 
 from __future__ import annotations

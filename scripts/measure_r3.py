@@ -91,7 +91,7 @@ def main():
                 single, pipe = _t(f, x)
                 print(
                     f"[cummax] 2^{logn} {name}: {single*1e3:.1f} ms single, "
-                    f"{pipe*1e3:.1f} ms pipelined (compile+3iters {time.time()-t0:.0f}s)",
+                    f"{pipe*1e3:.1f} ms pipelined (compile+iters {time.time()-t0:.0f}s)",
                     flush=True,
                 )
 
@@ -126,7 +126,7 @@ def main():
             single, pipe = _t(f, arr)
             print(
                 f"[stages] (16,2^22) {name}: {single*1e3:.0f} ms single, "
-                f"{pipe*1e3:.0f} ms pipelined (compile {time.time()-t0:.0f}s)",
+                f"{pipe*1e3:.0f} ms pipelined (compile+iters {time.time()-t0:.0f}s)",
                 flush=True,
             )
 
@@ -155,7 +155,7 @@ def main():
                 single, pipe = _t(f, arr)
                 print(
                     f"[sais] 2^22 {name}: {single*1e3:.0f} ms single, "
-                    f"{pipe*1e3:.0f} ms pipelined (compile {time.time()-t0:.0f}s)",
+                    f"{pipe*1e3:.0f} ms pipelined (compile+iters {time.time()-t0:.0f}s)",
                     flush=True,
                 )
             except Exception as e:  # noqa: BLE001 - record and continue
@@ -177,9 +177,19 @@ def main():
             jnp.asarray(rng.integers(0, n, n, np.int64).astype(np.int32))
             for _ in range(4)
         ]
+        # heavy-ties variant (ADVICE r3): early quad rounds see heavily
+        # duplicated ranks, not near-unique ones — group-head ranks drawn
+        # from ~n/64 distinct values reproduce that regime
+        tied = [
+            jnp.asarray(
+                (rng.integers(0, n // 64, n, np.int64) * 64).astype(np.int32)
+            )
+            for _ in range(4)
+        ]
         cases = [
             ("1key+payload", (key1, iota), 1, (key1, iota), 2),
             ("4keys+iota", (*ranks, iota), 4, (*ranks, iota), 5),
+            ("4keys+iota-heavyties", (*tied, iota), 4, (*tied, iota), 5),
         ]
         for name, lax_ops, lax_nk, pl_ops, pl_nk in cases:
 
@@ -201,7 +211,7 @@ def main():
                     print(
                         f"[pallas] 2^22 {name} {impl}: {single*1e3:.1f} ms "
                         f"single, {pipe*1e3:.1f} ms pipelined "
-                        f"(compile {time.time()-t0:.0f}s)",
+                        f"(compile+iters {time.time()-t0:.0f}s)",
                         flush=True,
                     )
                 except Exception as e:  # noqa: BLE001
