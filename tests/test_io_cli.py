@@ -35,6 +35,20 @@ def test_block_container_fallback_row():
     assert blocks.decode_file(blob) == data
 
 
+def test_block_container_pipelined_units(monkeypatch):
+    """The double-buffered dispatch pipeline (ARCHON_PIPE_BLOCKS) must
+    produce byte-identical containers for any unit size, incl. a ragged
+    tail block and unit-boundary-crossing runs."""
+    data = text_like(9 * 1024 + 333)  # 9 full 1 KiB blocks + ragged tail
+    blobs = []
+    for pipe in ("1", "2", "100"):
+        monkeypatch.setenv("ARCHON_PIPE_BLOCKS", pipe)
+        blob = blocks.encode_file(data, "a4", block_size=1024)
+        assert blocks.decode_file(blob) == data
+        blobs.append(blob)
+    assert blobs[0] == blobs[1] == blobs[2]
+
+
 def test_block_extract_reference_compatible(oracles):
     from conftest import run_oracle
 
