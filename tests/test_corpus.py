@@ -39,11 +39,13 @@ def test_markup_tie_depth_profile():
         return float((sizes[group] > 1).mean())
 
     n = 1 << 16
-    t_text = tied_frac(text_like(n), 3)
-    t_markup = tied_frac(markup_like(n), 3)
-    assert t_markup > 0.5  # plenty of structure-induced ties
-    # and the deep tail is bounded: at context 64 almost everything resolved
-    assert tied_frac(markup_like(n), 64) < 0.1
+    # deeper mid-k ties than word soup: at context 48 (where text_like fully
+    # resolves at this size) a fifth of markup positions are still tied ...
+    assert tied_frac(text_like(n), 48) < 0.02
+    assert tied_frac(markup_like(n), 48) > 0.1
+    # ... but unlike Gauntlet periodicity the tail is bounded: context 128
+    # resolves ~everything
+    assert tied_frac(markup_like(n), 128) < 0.05
 
 
 def test_markup_container_roundtrip():
