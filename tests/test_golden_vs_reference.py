@@ -36,7 +36,10 @@ def _fuzz_inputs():
         alpha = int(rng.integers(2, 5))
         rand.append(bytes(rng.integers(97, 97 + alpha, n, dtype=np.uint8)))
     gaunt = [v[:512] for v in gauntlet_cases(512).values()]
-    return fixed + rand + gaunt
+    from archon_tpu.utils.corpus import markup_like, text_like
+
+    corpus = [text_like(1500), markup_like(1500), markup_like(400)]
+    return fixed + rand + gaunt + corpus
 
 
 FUZZ = _fuzz_inputs()
