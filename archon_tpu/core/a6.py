@@ -49,6 +49,38 @@ def _uniform_width(codes, freq) -> int:
     return 0
 
 
+def _symbol_rank_map(codes) -> np.ndarray:
+    """Dense symbol order under MSB-first codeword comparison — the map that
+    reduces the VAR bit-domain sort to an n-symbol sort.
+
+    Why this is exact for any prefix-free table (not just uniform widths):
+    the suffix of the reversed bit stream at codeword-end position sel_i is
+    the MSB-first codeword of data[i], then data[i-1], ...  Prefix-freeness
+    means two DIFFERENT codewords differ strictly within min(len) bits, so a
+    bit comparison between two selected suffixes always resolves inside the
+    first differing symbol — i.e. at symbol granularity, under the order of
+    left-aligned codeword values (the same keys the decoder buckets by).
+    Equal symbols consume equal bits and recurse to the next symbol, exactly
+    like a symbol-domain suffix comparison.  The TERMIN-ones tail behaves as
+    the SENT_LARGE off-end sentinel: any key above an all-ones codeword's
+    key would need that codeword as a prefix (excluded), so the all-ones
+    codeword (if present) holds the maximal rank and the shorter-is-larger
+    tail convention matches the sentinel — the same argument the
+    uniform-width path verified against the golden oracle (all-0xFF, tiny
+    alphabets), now applied per-symbol.  Ref: the reference instead radix
+    sorts raw bit offsets (a6/src/bwt.c:367-402) because its fixed-width
+    radix keys must span codeword boundaries; a comparison-exact sorter
+    never needs the bit domain at all."""
+    keys = np.full(256, np.iinfo(np.int64).max, np.int64)
+    for s in range(256):
+        if codes[s].length:
+            keys[s] = np.int64(codes[s].code) << (32 - codes[s].length)
+    order = np.argsort(keys, kind="stable")
+    rank_map = np.empty(256, np.uint8)
+    rank_map[order] = np.arange(256, dtype=np.uint8)
+    return rank_map
+
+
 def build_codes(data: np.ndarray, config: str):
     freq = np.bincount(data, minlength=256)
     if config == "byte":
@@ -64,16 +96,25 @@ def _bit_suffix_ranks(rev_padded: jnp.ndarray):
     """Rank all suffixes of the padded reversed bit string (uint8 0/1 values,
     TERMIN ones appended; off-end sentinel large).
 
-    Seeds 16-bit windows (1-padded beyond the end, consistent with the
-    sentinel-large tail) into the measurement-tuned v3 pipeline: the
+    Seeds 16-position windows into the measurement-tuned v3 pipeline (the
     bootstrap covers context 64 in one 4-key sort, then quadrupling rounds
-    and the narrowed cascade replace round-1's plain k*=2 doubling with
-    scatter inversions (VERDICT r1 weak #4)."""
+    and the narrowed cascade).  Windows are BASE-3 digit packs with an
+    explicit off-end digit 2 — NOT 1-padded bit packs: a 1-pad erases the
+    string-end boundary inside a trailing all-ones run, leaving distinct
+    tail suffixes window-identical at every offset, and the quadrupling
+    shifts (k, 2k, 3k) then never land exactly on the length boundary that
+    separates them — adjacent TERMIN-tail positions stayed tied forever and
+    poisoned every rank read through them (caught by the symbol-reduction
+    equivalence fuzz, round 4).  Digit 2 > any real bit is precisely the
+    SENT_LARGE per-position convention; 3^16 < 2^31 keeps the pack in
+    int32."""
     m = rev_padded.shape[0]
-    ext = jnp.concatenate([rev_padded, jnp.ones((16,), jnp.uint8)])
+    ext = jnp.concatenate(
+        [rev_padded.astype(jnp.int32), jnp.full((16,), 2, jnp.int32)]
+    )
     win = jnp.zeros((m,), jnp.int32)
     for t in range(16):
-        win = (win << 1) | ext[t : m + t].astype(jnp.int32)
+        win = win * 3 + ext[t : m + t]
     return suffix_ranks_windows(win, 16, SENT_LARGE)
 
 
@@ -141,27 +182,33 @@ def _a6_symbol_transform(data: jnp.ndarray, code_map: jnp.ndarray):
     return out, base
 
 
-def a6_forward(data: bytes | np.ndarray, config: str = "byte"):
+def a6_forward(data: bytes | np.ndarray, config: str = "byte",
+               impl: str = "symbol"):
     """a6 transform of ``data``; returns (payload bytes array, base).
 
-    Uniform-width code tables (byte always; fix unless degenerate) dispatch
-    to the n-symbol fast path; variable-width (var/Huffman) takes the
-    bit-domain path."""
+    Every prefix-free table — byte, fix, AND var/Huffman — dispatches to the
+    n-symbol fast path through the dense codeword-order remap
+    (``_symbol_rank_map``): the bit-domain sort is provably equivalent at
+    symbol granularity.  ``impl="bits"`` forces the literal bit-domain path
+    (kept as the independent oracle the equivalence is regression-tested
+    against; also the route for the degenerate single-symbol table whose
+    codes are zero-length)."""
     arr = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else data
     if len(arr) == 0:
         return np.zeros(0, np.uint8), 0
     codes = build_codes(arr, config)
     freq = np.bincount(arr, minlength=256)
-    w = _uniform_width(codes, freq)
-    if w:
-        code_map = jnp.asarray(
-            np.array([codes[i].code for i in range(256)], np.uint8)
+    all_coded = all(codes[i].length for i in range(256) if freq[i])
+    if impl == "symbol" and all_coded:
+        out, base = _a6_symbol_transform(
+            jnp.asarray(arr), jnp.asarray(_symbol_rank_map(codes))
         )
-        out, base = _a6_symbol_transform(jnp.asarray(arr), code_map)
     else:
         vals, lens = _code_arrays(codes)
-        max_len = max(codes[i].length for i in range(256) if freq[i])
-        out, base = _a6_transform(jnp.asarray(arr), vals, lens, max_len=int(max_len))
+        max_len = max((codes[i].length for i in range(256) if freq[i]),
+                      default=1)
+        out, base = _a6_transform(jnp.asarray(arr), vals, lens,
+                                  max_len=max(int(max_len), 1))
     return np.asarray(out), int(base)
 
 

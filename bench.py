@@ -330,14 +330,14 @@ def main():
         )
 
     def run_a6_extras(marker):
-        """a6 compressor device throughput (VERDICT r3 #4): byte config on
-        the symbol fast path, var (Huffman) on the bit-domain path — run
-        only against a warm cache (scripts/warm_a6.py), recorded as
+        """a6 compressor device throughput (VERDICT r3 #4): byte and var
+        configs both run the n-symbol program (the var bit-domain sort
+        reduces to it exactly — core/a6._symbol_rank_map), so ONE warmed
+        cache entry (scripts/warm_a6.py) serves both; recorded as
         a6_*_mbps fields.  Ref: a6/src/bwt.c:349-439."""
         from archon_tpu.core.a6 import (
             _a6_symbol_transform,
-            _a6_transform,
-            _code_arrays,
+            _symbol_rank_map,
             build_codes,
         )
 
@@ -356,23 +356,17 @@ def main():
         d = data
         if len(d) < bsize:
             _, d = load_or_synthesize(bsize)
-        arr = jnp.asarray(np.frombuffer(d[:bsize], np.uint8))
+        npdata = np.frombuffer(d[:bsize], np.uint8)
+        arr = jnp.asarray(npdata)
         code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
         timed(
             lambda x: _a6_symbol_transform(x, code_map), arr, bsize,
             "a6_byte_bwt_mbps",
         )
-
-        vsize = int(marker.get("var_size", 1 << 22))
-        npdata = np.frombuffer(d[:vsize], np.uint8)
-        codes = build_codes(npdata, "var")
-        freq = np.bincount(npdata, minlength=256)
-        max_len = max(codes[i].length for i in range(256) if freq[i])
-        vals, lens = _code_arrays(codes)
-        arrv = jnp.asarray(npdata)
+        var_map = jnp.asarray(_symbol_rank_map(build_codes(npdata, "var")))
         timed(
-            lambda x: _a6_transform(x, vals, lens, max_len=int(max_len)),
-            arrv, vsize, "a6_var_bwt_mbps",
+            lambda x: _a6_symbol_transform(x, var_map), arr, bsize,
+            "a6_var_bwt_mbps",
         )
 
     out = None

@@ -25,7 +25,7 @@ timeout 9000 python scripts/compile_blocks_tpu.py 64 20
 
 # 3. a6 scoreboard warm (VERDICT r4 #4)
 echo "[queue] === warm_a6 ==="
-timeout 7200 python scripts/warm_a6.py 24 22
+timeout 7200 python scripts/warm_a6.py 24
 
 # 4. refresh the bench with everything warm
 echo "[queue] === bench refresh ==="

@@ -1,13 +1,12 @@
 """Compile + time the a6 device programs on the TPU relay and write the
 bench a6 marker (VERDICT r3 #4: put a6 on the device scoreboard).
 
-Programs warmed (the exact cache entries bench.py's a6 stage executes):
-  - byte config, symbol fast path (core.a6._a6_symbol_transform) at 16 MiB
-  - var (Huffman) config, bit-domain path (core.a6._a6_transform) at 4 MiB,
-    with max_len taken from the real Huffman table of the bench corpus
-    prefix (text_like is prefix-stable, so bench reproduces the same table)
+Since round 4 the var (Huffman) config reduces exactly to the n-symbol
+program (core/a6._symbol_rank_map: prefix-free codes resolve bit-suffix
+comparisons at symbol granularity), so ONE compiled program serves byte and
+var — this script warms it at the byte size and times both configs.
 
-Usage: python scripts/warm_a6.py [byte_log var_log]   (defaults 24 22)
+Usage: python scripts/warm_a6.py [byte_log]   (default 24 = 16 MiB)
 """
 
 import json
@@ -21,7 +20,6 @@ sys.path.insert(0, _REPO)
 
 def main():
     blog = int(sys.argv[1]) if len(sys.argv) > 1 else 24
-    vlog = int(sys.argv[2]) if len(sys.argv) > 2 else 22
 
     import jax
 
@@ -35,51 +33,38 @@ def main():
     import bench as bench_mod
     from archon_tpu.core.a6 import (
         _a6_symbol_transform,
-        _a6_transform,
-        _code_arrays,
+        _symbol_rank_map,
         build_codes,
     )
     from archon_tpu.utils.corpus import load_or_synthesize
 
-    _, data = load_or_synthesize(max(1 << blog, 1 << vlog))
+    bsize = 1 << blog
+    _, data = load_or_synthesize(bsize)
+    npdata = np.frombuffer(data[:bsize], np.uint8)
+    arr = jnp.asarray(npdata)
 
-    def timed(label, step, arr, size):
+    def timed(label, code_map):
         t0 = time.time()
-        out = step(arr)
+        out = _a6_symbol_transform(arr, code_map)
         float(out[-1])
         compile_s = time.time() - t0
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            out = step(arr)
+            out = _a6_symbol_transform(arr, code_map)
             float(out[-1])
             times.append(time.perf_counter() - t0)
-        mbps = size / 1e6 / min(times)
+        mbps = bsize / 1e6 / min(times)
         print(
-            f"[warm_a6] {label}: compile {compile_s:.0f}s, best "
-            f"{min(times)*1e3:.0f} ms = {mbps:.1f} MB/s", flush=True,
+            f"[warm_a6] {label} {bsize >> 20}MiB: compile {compile_s:.0f}s, "
+            f"best {min(times)*1e3:.0f} ms = {mbps:.1f} MB/s", flush=True,
         )
         return mbps, compile_s
 
-    bsize = 1 << blog
-    arr = jnp.asarray(np.frombuffer(data[:bsize], np.uint8))
-    code_map = jnp.asarray(np.arange(256, dtype=np.uint8))
-    byte_mbps, byte_c = timed(
-        f"byte {bsize >> 20}MiB",
-        lambda x: _a6_symbol_transform(x, code_map), arr, bsize,
-    )
-
-    vsize = 1 << vlog
-    npdata = np.frombuffer(data[:vsize], np.uint8)
-    codes = build_codes(npdata, "var")
-    freq = np.bincount(npdata, minlength=256)
-    max_len = int(max(codes[i].length for i in range(256) if freq[i]))
-    vals, lens = _code_arrays(codes)
-    arrv = jnp.asarray(npdata)
-    var_mbps, var_c = timed(
-        f"var {vsize >> 20}MiB (max_len={max_len})",
-        lambda x: _a6_transform(x, vals, lens, max_len=max_len), arrv, vsize,
-    )
+    byte_map = jnp.asarray(np.arange(256, dtype=np.uint8))
+    byte_mbps, c1 = timed("byte", byte_map)
+    var_map = jnp.asarray(_symbol_rank_map(build_codes(npdata, "var")))
+    var_mbps, c2 = timed("var", var_map)
 
     marker = os.path.join(_REPO, ".jax_cache", "a6_warm.marker")
     os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -89,10 +74,10 @@ def main():
                 "hash": bench_mod.program_hash(bench_mod._A6_SOURCES),
                 "files": bench_mod._file_hashes(bench_mod._A6_SOURCES),
                 "byte_size": bsize,
-                "var_size": vsize,
+                "var_size": bsize,
                 "byte_mbps": round(byte_mbps, 2),
                 "var_mbps": round(var_mbps, 2),
-                "compile_s": round(byte_c + var_c, 1),
+                "compile_s": round(c1 + c2, 1),
             },
             fh,
         )

@@ -37,3 +37,46 @@ def test_jax_a6_var_scales():
     big = text_like(1 << 20)
     blob = j6.a6_encode(big, "var")
     assert j6.a6_decode(blob, "var") == big
+
+
+def _hostile_cases():
+    """Inputs aimed at the symbol-reduction's edge cases: all-ones
+    codewords, runs entering the TERMIN tail, tiny/duplicated-length
+    alphabets, markup skeleton repeats."""
+    from archon_tpu.utils.corpus import markup_like
+
+    rng = np.random.default_rng(0xA6)
+    out = [
+        b"\xff" * 300,                      # all-0xFF: tail-equal comparisons
+        b"\xff" * 120 + b"\x00" * 120,      # ones run ending at the stream head
+        b"ab" * 200 + b"a",                 # 2-symbol: codes {0, 1} — the '1'
+                                            # code IS the all-ones codeword
+        b"aab" * 150,                       # skewed 2/3-symbol Huffman
+        bytes(rng.integers(0, 3, 700, dtype=np.uint8)),
+        bytes(rng.integers(250, 256, 500, dtype=np.uint8)),
+        markup_like(3000),
+        text_like(2500) + b"\xff" * 64,     # text entering an all-ones tail
+    ]
+    return out
+
+
+@pytest.mark.parametrize("cfg", ["fix", "var"])
+def test_symbol_reduction_equals_bit_domain(cfg):
+    """The n-symbol dispatch (dense codeword-order remap) must be
+    bit-for-bit identical with the literal bit-domain sort — the theorem
+    _symbol_rank_map's docstring states, regression-tested on the hostile
+    family plus the golden oracle where it accepts the config."""
+    for data in _hostile_cases():
+        sym_out, sym_base = j6.a6_forward(
+            np.frombuffer(data, np.uint8), cfg, impl="symbol"
+        )
+        bit_out, bit_base = j6.a6_forward(
+            np.frombuffer(data, np.uint8), cfg, impl="bits"
+        )
+        assert sym_base == bit_base, f"{cfg} n={len(data)} base"
+        assert sym_out.tobytes() == bit_out.tobytes(), f"{cfg} n={len(data)}"
+        try:
+            want = g6.a6_encode(data, cfg)
+        except ValueError:
+            continue
+        assert j6.a6_encode(data, cfg) == want
