@@ -98,6 +98,9 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
         raise ValueError(f"unknown impl {impl!r}")
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
     pipe = int(os.environ.get("ARCHON_PIPE_BLOCKS", PIPE_BLOCKS)) or len(blocks)
+    if mesh is not None:
+        # a dispatch unit must stay shardable over the dp mesh
+        pipe = -(-pipe // mesh.size) * mesh.size
 
     # split into dispatch units: equal-length runs, chunked to `pipe` rows
     units = []  # (first_index, [block bytes...]); empty blocks pass through
