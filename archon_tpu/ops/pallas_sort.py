@@ -98,7 +98,9 @@ def _xor_stage(ops, num_keys: int, j: int, desc_mask_fn):
     for j < 128, sublane roll otherwise — XOR pairs never cross the axis
     boundary, so the circular wrap only feeds lanes that ignore it).
 
-    desc_mask_fn(flat_iota) -> bool array marking descending pairs.
+    desc_mask_fn(flat_iota) -> bool array marking descending pairs, or None
+    for an all-ascending stage (a materialized all-false bool constant
+    lowers through an i8->i1 trunci Mosaic rejects — probed on-relay r4).
     Relies on a total order (never-equal keys): swap = (a > b) XOR desc.
     """
     R = ops[0].shape[0]
@@ -116,8 +118,9 @@ def _xor_stage(ops, num_keys: int, j: int, desc_mask_fn):
         dn, u = down(x), up(x)
         lo_ops.append(jnp.where(is_low, x, u))
         hi_ops.append(jnp.where(is_low, dn, x))
-    desc = desc_mask_fn(fid)
-    swap = _lex_gt(lo_ops, hi_ops, num_keys) ^ desc
+    swap = _lex_gt(lo_ops, hi_ops, num_keys)
+    if desc_mask_fn is not None:
+        swap = swap ^ desc_mask_fn(fid)
     return [
         jnp.where(swap, jnp.where(is_low, h, l), x)
         for x, l, h in zip(ops, lo_ops, hi_ops)
@@ -147,16 +150,15 @@ def _oem_merge_stages(ops, num_keys: int, n_elems: int):
     R = ops[0].shape[0]
     fid = _flat_iota(R)
     half = n_elems // 2
-    never = lambda fid: jnp.zeros_like(fid, dtype=jnp.bool_)
-    ops = _xor_stage(ops, num_keys, half, never)
+    ops = _xor_stage(ops, num_keys, half, None)
     d = half // 2
     while d >= 1:
         dn = [_shift_flat(x, d, down=True) for x in ops]
         u = [_shift_flat(x, d, down=False) for x in ops]
         is_low = (fid & d) != 0
-        active = jnp.where(
-            is_low, fid + d < n_elems, fid >= d
-        )
+        # boolean algebra, not where-select: keep every mask a product of
+        # comparisons so nothing materializes an i8 bool tile for Mosaic
+        active = (is_low & (fid + d < n_elems)) | (~is_low & (fid >= d))
         lo_ops = [jnp.where(is_low, x, uu) for x, uu in zip(ops, u)]
         hi_ops = [jnp.where(is_low, dd, x) for x, dd in zip(ops, dn)]
         swap = _lex_gt(lo_ops, hi_ops, num_keys) & active
