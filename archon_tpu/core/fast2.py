@@ -43,36 +43,16 @@ from .doubling import SENT_LARGE, SENT_SMALL, _invert_permutation
 _BIG = jnp.int32(0x7FFFFFFF)
 _EXT_BASE = 512
 
-# Route the two hot full-width sorts (bootstrap + quadrupling round, 4 keys
-# + iota + prev payload) through the Pallas tiled merge sort
-# (ops/pallas_sort) instead of the sort HLO.  Read once at import: the jit
-# cache is keyed on shapes, not env, so a per-call switch could silently
-# reuse a stale trace.  "1" = compiled kernels (TPU), "interpret" = Pallas
-# interpreter (CPU tests).
-_PALLAS_SORT = os.environ.get("ARCHON_PALLAS_SORT", "0")
-
-
 def _sort_ctx(keys, iota, payloads):
     """Lexicographic sort by (*keys, iota), permuting payloads along.
 
-    Equivalent to stable ``lax.sort((*keys, iota, *payloads),
-    num_keys=len(keys))``: iota is unique, so making it the last key (as the
-    unstable Pallas network requires for determinism) reproduces the stable
-    order exactly."""
+    The sort HLO, full stop.  A Pallas-routed variant lived behind
+    ARCHON_PALLAS_SORT through round 3; the round-4 decision measurement
+    closed it (docs/PERF.md "sort-primitive decision"): the VMEM tile stage
+    alone costs 2x the full pipelined lax.sort, so no amount of merge-level
+    fusion can pay for the switch.  ops/pallas_sort.py remains as the
+    documented study."""
     ops = tuple(keys) + (iota,) + tuple(payloads)
-    if _PALLAS_SORT in ("1", "interpret"):
-        from ..ops.pallas_sort import sort_operands
-
-        nk = len(keys) + 1
-        cast = [x.astype(jnp.int32) for x in ops[nk:]]
-        outs = sort_operands(
-            ops[:nk] + tuple(cast),
-            num_keys=nk,
-            interpret=_PALLAS_SORT == "interpret",
-        )
-        return list(outs[: nk]) + [
-            o.astype(p.dtype) for o, p in zip(outs[nk:], payloads)
-        ]
     return list(lax.sort(ops, num_keys=len(keys)))
 
 

@@ -1,10 +1,21 @@
 """Pallas TPU sort: tiled bitonic sort + merge-path bitonic merge levels.
 
-The measured wall for this framework is ``lax.sort`` (docs/PERF.md: 105 ms
-for 1 key + payload at 2^25 — roughly 250 HBM-passes-equivalent, because
-XLA's sort HLO streams every compare-exchange stage through HBM).  A sort
-that keeps tiles resident in VMEM pays the O(log^2 T) bitonic stages at VPU
-speed and touches HBM only ~log(n/T) + 1 times:
+STATUS (closed, round 4): this kernel is a documented STUDY, not a
+production path.  The decision measurement (docs/PERF.md "sort-primitive
+decision") found the full pipelined ``lax.sort`` at 13.9 ms for 2 operands
+at 2^22 — HALF the cost of this kernel's tile stage alone (28.4 ms) —
+because both are VPU-compute-bound on the compare network, XLA's schedule
+is simply better, and the hypothesized HBM-streaming tax amortizes away
+under pipelined dispatch.  The merge levels additionally tripped a Mosaic
+lowering bug (i8->i1 trunci; fixed here) and then a TPU-worker runtime
+fault on the shared relay — recorded, not further debugged, since even a
+perfect fused merge could not recover a 2x tile-stage deficit.  Kept for
+its proven grid/DMA/roll idioms (the repo's on-hardware Pallas
+foundation); wiring into the production sorter was removed.
+
+Original design rationale (superseded by the measurement above):
+A sort that keeps tiles resident in VMEM pays the O(log^2 T) bitonic
+stages at VPU speed and touches HBM only ~log(n/T) + 1 times:
 
   stage A  sort T-element tiles in VMEM (bitonic network, grid over tiles)
   stage B  repeat: merge sorted runs pairwise.  Each output tile's input
