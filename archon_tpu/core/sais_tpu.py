@@ -33,8 +33,14 @@ vector machine, so each phase is re-derived as sorts/scans:
    the classes exactly as the reference's bucket scatter does.
 
 Work: O(n log maxgap) + reduced-solve, vs O(n log maxdepth) for plain
-doubling; wall-clock crossover vs `fast2.bwt_v3` is measured, not assumed
-(see docs/PERF.md) — v3 remains the production default.
+doubling.  NO wall-clock crossover number exists: the round-4 relay
+measurement (scripts/measure_r3.py sais) recorded bwt_v3 at 68 ms single /
+48 ms pipelined (2^22, synthetic text) but the bwt_sais compile did not
+return from the shared remote-compile service within 2 hours and the
+attempt was abandoned (docs/PERF.md "sais measurement attempt" records
+the session).  v3 is the production default on measurement for ITS side
+and on compile economics; this path's value claim is algorithm parity
+with a7 (golden-tested both conventions), not throughput.
 
 SENT_LARGE reduces to SENT_SMALL by complementing the text and reversing
 the rank (a4 vs a7 convention duality; golden/sa.py documents both).
