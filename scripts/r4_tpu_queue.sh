@@ -16,16 +16,16 @@ echo "[queue] TPU free at $(date)"
 echo "[queue] === compile_blocks 16 22 (re-warm e2e incl. (8,2^22) units) ==="
 timeout 9000 python scripts/compile_blocks_tpu.py 16 22
 
-# 2. block-shape sweep (VERDICT r4 #2): 32 x 2 MiB, then 64 x 1 MiB if the
-#    first sweep point finished quickly.
+# 2. a6 scoreboard warm (VERDICT r4 #4) — BEFORE the sweep: cheaper compile,
+#    and the a6 metric must not be lost to a round-end cutoff.
+echo "[queue] === warm_a6 ==="
+timeout 7200 python scripts/warm_a6.py 24
+
+# 3. block-shape sweep (VERDICT r4 #2)
 echo "[queue] === sweep: compile_blocks 32 21 ==="
 timeout 9000 python scripts/compile_blocks_tpu.py 32 21
 echo "[queue] === sweep: compile_blocks 64 20 ==="
 timeout 9000 python scripts/compile_blocks_tpu.py 64 20
-
-# 3. a6 scoreboard warm (VERDICT r4 #4)
-echo "[queue] === warm_a6 ==="
-timeout 7200 python scripts/warm_a6.py 24
 
 # 4. refresh the bench with everything warm
 echo "[queue] === bench refresh ==="
