@@ -30,7 +30,6 @@ results are bit-identical (tested against the golden model and the v1 path).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
