@@ -306,12 +306,22 @@ def main():
             f"forward_bwt_blocks{bsz >> 20}MiB_{name}_{size >> 20}MiB",
             deadline, iters, priority=3,
         )
-        # the program compiled at this (nblocks, bsz): refresh the marker
+        # the program compiled at this (nblocks, bsz): refresh the marker,
+        # PRESERVING the e2e flag when the shape is unchanged (dropping it
+        # would make the NEXT bench run skip the container stage)
         os.makedirs(os.path.dirname(_BLOCKS_MARKER), exist_ok=True)
+        prev = {}
+        try:
+            with open(_BLOCKS_MARKER) as fh:
+                prev = json.load(fh)
+        except Exception:
+            pass
+        same_shape = prev.get("nblocks") == nblocks and prev.get("block") == bsz
         with open(_BLOCKS_MARKER, "w") as fh:
             json.dump(
                 {"nblocks": nblocks, "block": bsz, "hash": program_hash(),
-                 "files": _file_hashes(_BLOCKS_SOURCES)}, fh
+                 "files": _file_hashes(_BLOCKS_SOURCES),
+                 "e2e": bool(prev.get("e2e")) and same_shape}, fh
             )
         return out
 
