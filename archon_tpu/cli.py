@@ -105,9 +105,11 @@ def main(argv=None):
                 "already in OUTFILE, truncate any partial frame, encode the rest",
             )
             gb.add_argument(
-                "--impl", default="micro", choices=["micro", "v3"],
-                help="device program: cascade-free fast path (micro) or "
-                "in-program cascade (v3)",
+                "--impl", default="micro", choices=["micro", "v3", "stream"],
+                help="device program: cascade-free batched fast path (micro), "
+                "in-program batched cascade (v3), or per-block streamed 1D "
+                "dispatches (stream — fastest measured; verify becomes a "
+                "full host round-trip check)",
             )
             gb.add_argument(
                 "--dp", type=int, default=1,

@@ -68,6 +68,73 @@ def _fallback_row(row: np.ndarray, sentinel: str, verify: bool):
 PIPE_BLOCKS = 8
 
 
+def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
+    """Per-block 1D dispatch stream (``impl="stream"``): each block runs the
+    whole-file v3 pipeline (core/fast2.bwt_v3 — exact for every input, its
+    narrowed cascade and micro tail included, so NO fallback rows exist)
+    and blocks are dispatched back-to-back so XLA pipelines them.
+
+    Measured motivation (docs/PERF.md round 4): 16 streamed 1D dispatches
+    of 4 MiB run at ~98 MB/s where the lockstep-batched (16, 2^22) program
+    runs 61.7 — the batched rows pay the max round count and the
+    shape-invariant tail together, the streamed blocks do not.
+
+    ``verify=True`` performs a FULL host-native round-trip per block
+    (native.unbwt(L, base) == block) on a thread pool — strictly stronger
+    than the LF certificate, at the native decoder's 100+ MB/s."""
+    from ..core.doubling import SENT_SMALL, SENT_LARGE
+    from ..core.fast2 import bwt_v3
+    import jax.numpy as jnp
+
+    sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
+
+    handles = []  # (original_block_bytes, device L, device base) or None
+    for b in blocks:
+        if len(b) == 0:
+            handles.append(None)
+            continue
+        rev = np.frombuffer(b[::-1], np.uint8)
+        L, base = bwt_v3(jnp.asarray(rev), sentinel)
+        handles.append((b, L, base))
+
+    from .. import native
+
+    use_native = native.available() and verify
+
+    def fetch(h):
+        if h is None:
+            return (np.zeros(0, np.uint8), 0, None)
+        orig, L, base = h
+        return (np.asarray(L), int(base), orig)
+
+    fetched = [fetch(h) for h in handles]
+
+    if verify:
+        # the LF walk of the format's (L, base) yields the block in its
+        # ORIGINAL orientation (the reversal is part of the format
+        # convention — same walk decode_file runs)
+        def check(item):
+            idx, (L, base, orig) = item
+            if orig is None:
+                return True
+            if use_native:
+                return native.unbwt(L, base, sentinel == SENT_LARGE).tobytes() == orig
+            from ..golden.sa import bwt_inverse
+
+            return bwt_inverse(L, base, sentinel).tobytes() == orig
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(len(fetched), os.cpu_count() or 1)) as ex:
+            oks = list(ex.map(check, enumerate(fetched)))
+        bad = [i for i, ok in enumerate(oks) if not ok]
+        if bad:
+            raise AssertionError(
+                f"round-trip verification failed for block(s) {bad} (internal error)"
+            )
+    return [(L, base) for (L, base, _rev) in fetched]
+
+
 def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
                      impl: str = "micro", mesh=None):
     """Transform blocks, batching equal-length runs through the dp pipeline.
@@ -94,6 +161,8 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
     )
     import jax.numpy as jnp
 
+    if impl == "stream":
+        return _streamed_forward(blocks, generation, verify)
     if impl not in ("micro", "v3"):
         raise ValueError(f"unknown impl {impl!r}")
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
@@ -186,9 +255,11 @@ def encode_file(
     dp: int = 1,
 ) -> bytes:
     """Encode into the blocked container.  ``impl`` selects the device
-    program (micro = cascade-free fast path, v3 = in-program cascade);
-    ``dp > 1`` shards the block batch over a dp-axis device mesh
-    (parallel/blocks.py) — requires that many JAX devices."""
+    program (micro = cascade-free batched fast path, v3 = in-program
+    batched cascade, stream = per-block 1D dispatch stream — see
+    ``_streamed_forward``); ``dp > 1`` shards the block batch over a
+    dp-axis device mesh (parallel/blocks.py; ignored by stream, whose
+    blocks pipeline through one device's queue)."""
     if generation not in GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
     mesh = None

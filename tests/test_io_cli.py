@@ -35,6 +35,29 @@ def test_block_container_fallback_row():
     assert blocks.decode_file(blob) == data
 
 
+def test_block_container_stream_impl():
+    """impl='stream' (per-block 1D dispatch stream) must produce the SAME
+    container bytes as the batched path, for both generations, incl. a
+    pathological block (the 1D cascade handles it with no fallback)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    data = (
+        text_like(5000)
+        + b"ab" * 2000                      # periodic block content
+        + bytes(rng.integers(0, 4, 3000, dtype=np.uint8))
+    )
+    for gen in ("a4", "a7"):
+        want = blocks.encode_file(data, gen, block_size=2048)
+        got = blocks.encode_file(data, gen, block_size=2048, impl="stream")
+        assert got == want
+        assert blocks.decode_file(got) == data
+    # verify=True detects corruption... and verify=False skips the check
+    blob = blocks.encode_file(data, "a4", block_size=2048, impl="stream",
+                              verify=False)
+    assert blocks.decode_file(blob) == data
+
+
 def test_block_container_pipelined_units(monkeypatch):
     """The double-buffered dispatch pipeline (ARCHON_PIPE_BLOCKS) must
     produce byte-identical containers for any unit size, incl. a ragged
