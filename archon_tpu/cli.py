@@ -156,6 +156,24 @@ def main(argv=None):
                     args,
                     lambda d: megapipe.encode_megablock(d, mesh, cfg.generation),
                 )
+            elif cfg.resume:
+                # checkpoint/resume path: complete frames already in OUTFILE
+                # are kept, a trailing partial frame is truncated, and only
+                # the missing blocks are recomputed (encode_to_path)
+                with open(args.infile, "rb") as f:
+                    d = f.read()
+                t0 = time.perf_counter()
+                n_done = blocks.encode_to_path(
+                    d, args.outfile, cfg.generation, cfg.block_size,
+                    resume=True, verify=cfg.verify, impl=cfg.impl,
+                )
+                dt = time.perf_counter() - t0
+                import os as _os
+
+                print(
+                    f"{len(d)} -> {_os.path.getsize(args.outfile)} bytes "
+                    f"({n_done} block(s) recomputed, {dt:.3f} s)"
+                )
             else:
                 _rw(
                     args,
@@ -196,6 +214,7 @@ def _config_from_args(args) -> "ArchonConfig":
     cfg.impl = getattr(args, "impl", cfg.impl)
     cfg.dp = getattr(args, "dp", cfg.dp)
     cfg.sp = getattr(args, "sp", cfg.sp)
+    cfg.resume = getattr(args, "resume", cfg.resume)
     cfg.profile_dir = (
         getattr(args, "profile_dir", None) or os.environ.get("ARCHON_PROFILE_DIR")
     )

@@ -26,6 +26,10 @@ class ArchonConfig:
     # verification (reference: VERIFY/VF_SORT compile-time defines)
     verify: bool = True             # always-on LF check after transform
 
+    # checkpoint/resume (container encode: keep complete frames, truncate a
+    # partial one, recompute the rest — io/blocks.encode_to_path)
+    resume: bool = False            # --resume
+
     # execution
     impl: str = "micro"             # container device program: micro (cascade-
                                     # free fast path) | v3 (in-program cascade)

@@ -324,6 +324,7 @@ def encode_to_path(
     resume: bool = False,
     flush_blocks: int = 16,
     verify: bool = True,
+    impl: str = "micro",
 ) -> int:
     """Streaming encode with checkpoint/resume at block granularity.
 
@@ -361,7 +362,7 @@ def encode_to_path(
         for i in range(0, len(todo), flush_blocks):
             batch = todo[i : i + flush_blocks]
             for (L, base), blk in zip(
-                _batched_forward(batch, generation, verify), batch
+                _batched_forward(batch, generation, verify, impl), batch
             ):
                 f.write(struct.pack("<I", len(blk)))
                 f.write(L.tobytes())

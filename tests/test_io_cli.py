@@ -168,6 +168,30 @@ def test_cli_dp_sp_impl_flags(tmp_path):
         assert dec.read_bytes() == data, extra
 
 
+def test_cli_resume_flag_consumed(tmp_path, capsys):
+    """--resume must actually route through encode_to_path (it was parsed
+    but unconsumed before round 4): a second resume run recomputes ZERO
+    blocks, and a truncated container is repaired to byte-identical."""
+    from archon_tpu.cli import main
+
+    data = text_like(6000)
+    src = tmp_path / "in.bin"
+    out = tmp_path / "out.at1"
+    src.write_bytes(data)
+    assert main(["e", str(src), str(out), "-b", "1024", "--resume"]) == 0
+    full = out.read_bytes()
+    assert "6 block(s) recomputed" in capsys.readouterr().out
+    assert blocks.decode_file(full) == data
+    # second resume run: nothing to do
+    assert main(["e", str(src), str(out), "-b", "1024", "--resume"]) == 0
+    assert "0 block(s) recomputed" in capsys.readouterr().out
+    assert out.read_bytes() == full
+    # truncate mid-frame; resume repairs only the tail
+    out.write_bytes(full[: len(full) - 700])
+    assert main(["e", str(src), str(out), "-b", "1024", "--resume"]) == 0
+    assert out.read_bytes() == full
+
+
 def test_corpus_env_override(tmp_path, monkeypatch):
     """$ARCHON_CORPUS points the bench corpus loader at a real file; absent
     that, it logs the acquisition attempt and synthesizes (round-2 VERDICT
