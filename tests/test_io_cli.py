@@ -58,6 +58,18 @@ def test_block_container_stream_impl():
     assert blocks.decode_file(blob) == data
 
 
+def test_block_container_stream_edges():
+    # empty file, single tiny block, and a ragged tail through stream
+    assert blocks.decode_file(blocks.encode_file(b"", "a4", impl="stream")) == b""
+    data = b"x"
+    blob = blocks.encode_file(data, "a7", block_size=1024, impl="stream")
+    assert blocks.decode_file(blob) == data
+    data = text_like(2500)  # 2 full 1 KiB blocks + 452-byte tail
+    blob = blocks.encode_file(data, "a4", block_size=1024, impl="stream")
+    assert blocks.decode_file(blob) == data
+    assert blob == blocks.encode_file(data, "a4", block_size=1024)
+
+
 def test_block_container_pipelined_units(monkeypatch):
     """The double-buffered dispatch pipeline (ARCHON_PIPE_BLOCKS) must
     produce byte-identical containers for any unit size, incl. a ragged
