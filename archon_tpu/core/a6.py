@@ -26,13 +26,31 @@ from ..entropy.huffman import (
 )
 from ..ops.bitpack import pack_codes_sized, words_to_bits
 from .doubling import SENT_LARGE
-from .fast2 import suffix_ranks_v2, suffix_ranks_windows
+from .fast2 import bwt_v3_payload, suffix_ranks_windows
 from .unbwt import bwt_inverse
 
 TERMIN_BITS = 80
 
 
+def _check_code_lengths(codes) -> None:
+    """Both code paths assume codeword length <= 32 (the reference's
+    MAX_CODE_LENGTH, a6/src/coder.c:18): ``_symbol_rank_map`` shifts by
+    (32 - length), and the packer's u32-word stream cannot hold a longer
+    code.  A Huffman depth > 32 is achievable with a skewed ~9+ MB input
+    (Fibonacci-like weights); numpy would evaluate the negative shift
+    SILENTLY (np.int64 << -1 == 0), corrupting the rank map — fail loudly
+    instead (ADVICE r4)."""
+    worst = max(c.length for c in codes)
+    if worst > 32:
+        raise ValueError(
+            f"Huffman code length {worst} exceeds the 32-bit format limit "
+            "(MAX_CODE_LENGTH); this input's symbol distribution is too "
+            "skewed for the a6 format"
+        )
+
+
 def _code_arrays(codes):
+    _check_code_lengths(codes)
     vals = np.array([c.code for c in codes], np.uint32)
     lens = np.array([c.length for c in codes], np.int32)
     return jnp.asarray(vals), jnp.asarray(lens)
@@ -71,6 +89,7 @@ def _symbol_rank_map(codes) -> np.ndarray:
     sorts raw bit offsets (a6/src/bwt.c:367-402) because its fixed-width
     radix keys must span codeword boundaries; a comparison-exact sorter
     never needs the bit domain at all."""
+    _check_code_lengths(codes)
     keys = np.full(256, np.iinfo(np.int64).max, np.int64)
     for s in range(256):
         if codes[s].length:
@@ -159,27 +178,30 @@ def _a6_transform(data: jnp.ndarray, code_values: jnp.ndarray,
 
 @jax.jit
 def _a6_symbol_transform(data: jnp.ndarray, code_map: jnp.ndarray):
-    """Jitted a6 forward, uniform-width fast path (byte/fix configs).
+    """Jitted a6 forward, n-symbol path (every prefix-free table, via the
+    symbol-reduction theorem of ``_symbol_rank_map``).
 
-    With every codeword the same width W, the reversed bit stream is
-    W-periodic at codeword-end positions, so the bit-suffix order over the
-    selected positions equals the SENT_LARGE suffix order of the *recoded
-    reversed text* s[j] = code(data[n-1-j]) — n symbols instead of ~8n
-    bits, running on the tuned byte-domain sorter.  (The TERMIN-ones tail
-    compares identically to the sentinel-large convention: any suffix
-    entering the tail reads all-ones codes then off-end-large, which orders
-    shorter-is-larger exactly like the immediate sentinel; verified against
-    the golden oracle across byte/fix configs incl. all-0xFF and tiny
-    alphabets.)  Reference: a6's radix-over-bit-keys design bwt.c:367-402,
-    key reads get_key_fixed bwt.c:112-117."""
-    n = data.shape[0]
-    s = code_map[data][::-1].astype(jnp.uint8)
-    rank_s = suffix_ranks_v2(s, SENT_LARGE)
-    key = rank_s[::-1]  # key_i = rank of the s-suffix at n-1-i
-    nxt = jnp.roll(data, -1)
-    _, out = lax.sort((key, nxt), num_keys=1)
-    base = rank_s[0]  # the full s-suffix (position 0) is symbol i == n-1
-    return out, base
+    The bit-suffix order over codeword-end positions equals the SENT_LARGE
+    suffix order of the *recoded reversed text* s[j] = code_rank(data[n-1-j])
+    — n symbols instead of ~max_len*n bits, running on the tuned byte-domain
+    sorter.  (The TERMIN-ones tail compares identically to the sentinel-large
+    convention: any suffix entering the tail reads all-ones codes then
+    off-end-large, which orders shorter-is-larger exactly like the immediate
+    sentinel; fuzz-verified against the literal bit-domain oracle.)
+
+    Since round 5 this runs the full v3 structure (deferred inversions,
+    carried payload, micro tail) via ``bwt_v3_payload``: the emitted byte is
+    the next ORIGINAL byte in s-space — payload[j] = data[(n-j) mod n] =
+    roll(reversed data, 1)[j] — so the BWT comes straight out of the last
+    sort with no separate full-width emission sort, and base = rank_s[0]
+    (the full s-suffix is symbol i == n-1) falls out as the v3 base of
+    position 0.  Ref: a6's radix-over-bit-keys design bwt.c:367-402; the
+    old suffix_ranks_v2 + emission-sort path measured 36 MB/s where the v3
+    structure runs the same size at ~68 (PERF.md round-4 roadmap)."""
+    rev = data[::-1]
+    s = code_map[rev].astype(jnp.uint8)
+    payload = jnp.roll(rev, 1)
+    return bwt_v3_payload(s, payload, SENT_LARGE)
 
 
 def a6_forward(data: bytes | np.ndarray, config: str = "byte",
@@ -212,15 +234,23 @@ def a6_forward(data: bytes | np.ndarray, config: str = "byte",
     return np.asarray(out), int(base)
 
 
+# Extension-blob magic for order-remapped output.  Self-describing on
+# purpose (ADVICE r4): its little-endian u32 value 0xFF314F41 exceeds any
+# valid base index (the format caps blocks at 2^30, a6/src/bwt.c:249), so a
+# plain blob — which starts with the u32 base — can never alias it.
+_ORDER_MAGIC = b"AO1\xff"
+
+
 def a6_encode(data: bytes, config: str = "byte", order: str = "none") -> bytes:
     """a6-format blob (u32-LE base first, then N payload bytes).
 
     ``order`` != "none" remaps the alphabet through the chosen heuristic
     (entropy/order.py; the reference parses ``-o`` but never applies it,
     a6/src/main.c:33-41 / bwt.c:69-77) before the transform.  The remapped
-    blob is an EXTENSION format: a 256-byte destination table precedes the
-    base so the decoder can undo the remap — not byte-comparable with the
-    reference binary (the ``none`` default stays byte-exact)."""
+    blob is an EXTENSION format: magic ``AO1\\xff``, then a 256-byte
+    destination table, then the plain blob — self-describing, so decode
+    needs no out-of-band order flag (the ``none`` default stays byte-exact
+    with the reference binary)."""
     if order == "none":
         out, base = a6_forward(data, config)
         return np.uint32(base).tobytes() + out.tobytes()
@@ -231,13 +261,23 @@ def a6_encode(data: bytes, config: str = "byte", order: str = "none") -> bytes:
     inv = np.empty(256, np.uint8)
     inv[dc] = np.arange(256, dtype=np.uint8)
     out, base = a6_forward(inv[arr], config)
-    return dc.tobytes() + np.uint32(base).tobytes() + out.tobytes()
+    return _ORDER_MAGIC + dc.tobytes() + np.uint32(base).tobytes() + out.tobytes()
 
 
-def a6_decode(blob: bytes, config: str = "byte", order: str = "none") -> bytes:
-    if order != "none":
-        dc = np.frombuffer(blob[:256], np.uint8)
-        inner = _a6_decode_raw(blob[256:], config)
+def a6_decode(blob: bytes, config: str = "byte", order: str | None = None) -> bytes:
+    """Invert an a6 blob.  Order-remapped blobs self-identify via their
+    magic; ``order`` is accepted for backward compatibility and only
+    validated — a mismatch between the stated order and what the blob
+    actually is raises instead of silently decoding garbage (ADVICE r4)."""
+    is_ordered = blob[:4] == _ORDER_MAGIC
+    if order is not None and order != "none" and not is_ordered:
+        raise ValueError(
+            f"order={order!r} requested but the blob has no order table "
+            "(plain a6 format)"
+        )
+    if is_ordered:
+        dc = np.frombuffer(blob[4:260], np.uint8)
+        inner = _a6_decode_raw(blob[260:], config)
         return dc[np.frombuffer(inner, np.uint8)].tobytes()
     return _a6_decode_raw(blob, config)
 

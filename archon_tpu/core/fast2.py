@@ -567,8 +567,30 @@ def bwt_v3(data: jnp.ndarray, sentinel: str = SENT_SMALL):
     n = data.shape[0]
     if n <= 1:
         return data, jnp.int32(0)
+    return _bwt_v3_impl(data, jnp.roll(data, 1), sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel",))
+def bwt_v3_payload(data: jnp.ndarray, payload: jnp.ndarray,
+                   sentinel: str = SENT_SMALL):
+    """``bwt_v3`` with a caller-supplied carried payload: returns (L, base)
+    with L[rank[p]] = payload[p].  ``bwt_v3`` is the special case
+    payload = roll(data, 1).  This is the a6 port's entry (PERF.md round-4
+    roadmap): a6 sorts the RECODED reversed symbol string but must emit the
+    next ORIGINAL byte, so its payload lives in a different alphabet than
+    its sort keys — the structure (deferred inversions, carried payload,
+    micro tail) is identical.  Ref: the reference couples the two the same
+    way, emitting decoded symbols while sorting recoded keys
+    (a6/src/bwt.c:303-335 vs :349-439)."""
+    n = data.shape[0]
+    if n <= 1:
+        return payload, jnp.int32(0)
+    return _bwt_v3_impl(data, payload, sentinel)
+
+
+def _bwt_v3_impl(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
+    n = data.shape[0]
     cap1, cap2, cap3 = _narrow_caps(n)
-    prev = jnp.roll(data, 1)
 
     si, rs, ac, na, prev_s = _bootstrap_sorted(data, prev, sentinel)
     # G: position-indexed granule-(k/4) consistent keys. At bootstrap exit

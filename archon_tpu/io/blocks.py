@@ -81,21 +81,23 @@ def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
 
     ``verify=True`` performs a FULL host-native round-trip per block
     (native.unbwt(L, base) == block) on a thread pool — strictly stronger
-    than the LF certificate, at the native decoder's 100+ MB/s."""
+    than the LF certificate, at the native decoder's 100+ MB/s.
+
+    Dispatch is WINDOWED (VERDICT r4 weak #1): at most PIPE_BLOCKS blocks
+    are in flight before the oldest one's payload is fetched, so the
+    device-resident footprint is O(window * block), not O(file) — the same
+    double-buffering discipline the batched path applies per dispatch
+    unit.  The window is deep enough that XLA still pipelines the
+    independent programs through the device queue (the measured win over
+    the lockstep-batched program, docs/PERF.md round 4)."""
+    from collections import deque
+
     from ..core.doubling import SENT_SMALL, SENT_LARGE
     from ..core.fast2 import bwt_v3
     import jax.numpy as jnp
 
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
-
-    handles = []  # (original_block_bytes, device L, device base) or None
-    for b in blocks:
-        if len(b) == 0:
-            handles.append(None)
-            continue
-        rev = np.frombuffer(b[::-1], np.uint8)
-        L, base = bwt_v3(jnp.asarray(rev), sentinel)
-        handles.append((b, L, base))
+    window = int(os.environ.get("ARCHON_PIPE_BLOCKS", PIPE_BLOCKS)) or len(blocks)
 
     from .. import native
 
@@ -107,7 +109,19 @@ def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
         orig, L, base = h
         return (np.asarray(L), int(base), orig)
 
-    fetched = [fetch(h) for h in handles]
+    fetched = []
+    pending = deque()  # (original_block_bytes, device L, device base) | None
+    for b in blocks:
+        if len(b) == 0:
+            pending.append(None)
+        else:
+            rev = np.frombuffer(b[::-1], np.uint8)
+            L, base = bwt_v3(jnp.asarray(rev), sentinel)
+            pending.append((b, L, base))
+        if len(pending) > window:
+            fetched.append(fetch(pending.popleft()))
+    while pending:
+        fetched.append(fetch(pending.popleft()))
 
     if verify:
         # the LF walk of the format's (L, base) yields the block in its
@@ -283,10 +297,18 @@ def encode_file(
     return b"".join(chunks)
 
 
-def _scan_complete_blocks(path, generation: str, block_size: int):
+def _scan_complete_blocks(path, generation: str, block_size: int,
+                          expect_lens=None):
     """Number of COMPLETE frames in a (possibly truncated) container at
-    ``path``, and the byte offset just past the last complete frame.
-    Returns None if the file is missing/invalid or its header disagrees."""
+    ``path``, the byte offset just past the last complete frame, and the
+    offset of that last frame's header.  Returns None if the file is
+    missing/invalid or its header disagrees.
+
+    ``expect_lens`` (the current input's block lengths) bounds the scan:
+    a frame whose stored n disagrees with the input's block length — the
+    input changed since the partial encode — stops the scan at the last
+    still-consistent frame, so stale frames beyond a SHRUNK input are
+    truncated away rather than silently kept (ADVICE r4 medium)."""
     import os
 
     try:
@@ -302,7 +324,7 @@ def _scan_complete_blocks(path, generation: str, block_size: int):
         gen_id, _flags, _rsvd, bs = struct.unpack("<BBHI", head[4:12])
         if gen_id != GENERATIONS[generation] or bs != block_size:
             return None
-        pos, count = 12, 0
+        pos, count, last = 12, 0, 12
         while True:
             hdr = f.read(4)
             if len(hdr) < 4:
@@ -310,10 +332,54 @@ def _scan_complete_blocks(path, generation: str, block_size: int):
             (n,) = struct.unpack("<I", hdr)
             if pos + 8 + n > size:
                 break
+            if expect_lens is not None and (
+                count >= len(expect_lens) or n != expect_lens[count]
+            ):
+                break
             f.seek(n + 4, 1)
+            last = pos
             pos += 8 + n
             count += 1
-    return count, pos
+    return count, pos, last
+
+
+def _last_frame_matches(path, frame_start: int, frame_end: int,
+                        generation: str, block: bytes) -> bool:
+    """Round-trip the frame at [frame_start, frame_end) against ``block``:
+    the input-drift guard for --resume.  A partial encode whose INPUT
+    changed since (same lengths, different bytes) would otherwise keep
+    stale frames that silently decode to wrong data; decoding the last
+    kept frame and byte-comparing catches the drift at the resume point
+    (ADVICE r4 medium).  Cost: one block decode at the native walk's
+    100+ MB/s."""
+    from ..core.doubling import SENT_LARGE, SENT_SMALL
+    from .. import native
+
+    with open(path, "rb") as f:
+        f.seek(frame_start)
+        raw = f.read(frame_end - frame_start)
+    (n,) = struct.unpack("<I", raw[:4])
+    if n != len(block) or len(raw) != n + 8:
+        return False
+    L = np.frombuffer(raw[4 : 4 + n], np.uint8)
+    (base,) = struct.unpack("<I", raw[4 + n :])
+    if n == 0:
+        return len(block) == 0
+    if base >= n:
+        return False
+    sentinel_large = generation != "a4"
+    try:
+        if native.available():
+            out = native.unbwt(L, base, sentinel_large).tobytes()
+        else:
+            from ..golden.sa import bwt_inverse
+
+            out = bwt_inverse(
+                L, base, SENT_LARGE if sentinel_large else SENT_SMALL
+            ).tobytes()
+    except ValueError:
+        return False
+    return out == block
 
 
 def encode_to_path(
@@ -343,9 +409,22 @@ def encode_to_path(
         data[i : i + block_size] for i in range(0, len(data), block_size)
     ] or [b""]
     done = 0
-    state = _scan_complete_blocks(path, generation, block_size) if resume else None
+    state = (
+        _scan_complete_blocks(
+            path, generation, block_size, [len(b) for b in blocks]
+        )
+        if resume
+        else None
+    )
     if state is not None:
-        done, keep = min(state[0], len(blocks)), state[1]
+        done, keep, last = state
+        if done > 0 and not _last_frame_matches(
+            path, last, keep, generation, blocks[done - 1]
+        ):
+            # input drifted since the partial encode: stale frames would
+            # silently decode to the OLD data — restart from scratch
+            state, done = None, 0
+    if state is not None:
         with open(path, "r+b") as f:
             f.truncate(keep)
         mode = "ab"

@@ -220,3 +220,74 @@ def test_corpus_env_override(tmp_path, monkeypatch):
     monkeypatch.delenv("ARCHON_CORPUS")
     name, data = corpus.load_or_synthesize(500)
     assert name == "synthetic-text" and len(data) == 500
+
+
+def test_resume_input_drift_guard(tmp_path):
+    """--resume must not trust stale frames (ADVICE r4 medium): if the INPUT
+    changed since the partial encode, kept frames would silently decode to
+    the OLD bytes.  The guard round-trips the last kept frame against the
+    current input and restarts on mismatch; a SHRUNK input additionally
+    truncates frames beyond the new block count."""
+    old = text_like(6000, seed=1)
+    new = text_like(6000, seed=2)
+    out = tmp_path / "o.at1"
+    blocks.encode_to_path(old, out, block_size=1024)
+    # drop the final frame to force a resume with kept frames
+    sz = out.stat().st_size
+    out.write_bytes(out.read_bytes()[: sz - 700])
+    n = blocks.encode_to_path(new, out, block_size=1024, resume=True)
+    assert n == 6  # drift detected -> full recompute, not a 1-block patch
+    assert blocks.decode_file(out.read_bytes()) == new
+
+    # shrink: a shorter input must not leave stale frames past its end
+    short = old[: 3 * 1024 + 100]
+    blocks.encode_to_path(old, out, block_size=1024)
+    blocks.encode_to_path(short, out, block_size=1024, resume=True)
+    assert blocks.decode_file(out.read_bytes()) == short
+
+    # unchanged input still resumes with zero recompute
+    blocks.encode_to_path(old, out, block_size=1024)
+    assert blocks.encode_to_path(old, out, block_size=1024, resume=True) == 0
+
+
+def test_streamed_window_bounds_inflight(monkeypatch):
+    """The streamed dispatcher must keep at most ARCHON_PIPE_BLOCKS blocks
+    in flight (VERDICT r4 weak #1): device-resident footprint O(window),
+    not O(file).  Tracked by shimming bwt_v3 with lazily-fetched results."""
+    from archon_tpu.core import fast2
+    from archon_tpu.io.blocks import _streamed_forward
+
+    state = {"live": 0, "max": 0}
+
+    class LazyL:
+        def __init__(self, arr):
+            self.arr = arr
+            self.fetched = False
+
+        def __array__(self, dtype=None, copy=None):
+            if not self.fetched:
+                self.fetched = True
+                state["live"] -= 1
+            return self.arr
+
+    real = fast2.bwt_v3
+
+    def shim(arr, sentinel):
+        state["live"] += 1
+        state["max"] = max(state["max"], state["live"])
+        L, base = real(arr, sentinel)
+        return LazyL(np.asarray(L)), int(base)
+
+    monkeypatch.setattr(fast2, "bwt_v3", shim)
+    monkeypatch.setenv("ARCHON_PIPE_BLOCKS", "3")
+    data = text_like(24 * 256, seed=5)
+    blks = [data[i : i + 256] for i in range(0, len(data), 256)]
+    out = _streamed_forward(blks, "a4", verify=False)
+    assert state["max"] <= 4  # window 3 + the one being dispatched
+    # results are still correct and complete
+    from archon_tpu.golden.sa import bwt_inverse
+
+    got = b"".join(
+        bwt_inverse(np.asarray(L), int(b), "small").tobytes() for L, b in out
+    )
+    assert got == data

@@ -92,13 +92,19 @@ def test_a6_order_roundtrip(coder, name):
 
     data = text_like(30000)
     blob = a6_encode(data, coder, order=name)
-    # extension blob: 256-byte table precedes the base
-    dc = np.frombuffer(blob[:256], np.uint8)
+    # extension blob is SELF-DESCRIBING (ADVICE r4): magic, then the table
+    assert blob[:4] == b"AO1\xff"
+    dc = np.frombuffer(blob[4:260], np.uint8)
     assert sorted(dc.tolist()) == list(range(256))
+    # decode needs NO out-of-band order argument
+    assert a6_decode(blob, coder) == data
     assert a6_decode(blob, coder, order=name) == data
-    # the none default stays the plain (reference-shaped) blob
+    # the none default stays the plain (reference-shaped) blob, and a
+    # stated-order mismatch on a plain blob fails loudly
     plain = a6_encode(data, coder)
     assert len(plain) == 4 + len(data)
+    with pytest.raises(ValueError):
+        a6_decode(plain, coder, order=name)
 
 
 def test_cli_order_flag_roundtrip(tmp_path):
