@@ -1,0 +1,237 @@
+"""Itoh-Tanaka reduced-volume BWT — the round-5 decision measurement.
+
+The reference's core economy is sorting only a FRACTION of suffixes: a4
+direct-sorts the ~1/3 "lucky" suffixes satisfying
+``fly[0] > fly[1] && fly[0] >= fly[-1]`` (a4/src/archon.c:163-169) and
+derives the other 2/3 with two sequential induction waves (:172-194);
+a5's order-4 split gets direct volume to ~12%
+(a5/tool/estimate/result/4.txt).  This module is that idea made exact on a
+sort-network machine:
+
+1. **Lucky classification** (vectorized a4 predicate): lucky positions are
+   descent maxima — s[x] > s[x+1] and s[x] >= s[x-1].  Two lucky positions
+   are never adjacent, and identical text windows have identical interior
+   lucky structure (the predicate reads chars only).
+2. **Phrase reduction**: the text factors into phrases [q_i, q_{i+1}]
+   (lucky to next lucky, inclusive overlap — the LMS-substring shape of
+   SA-IS, a7/src/archon.cpp:160-172, but at IT-2 lucky boundaries).  One
+   n-wide multi-key sort names all phrases (packed char digits, see the
+   lemma below); the reduced string of names (m ~ n/3) solves on the
+   measurement-tuned v3 engine (fast2.suffix_ranks_windows) with REGULAR
+   slices — no per-round gathers, which is what made narrowed IT rounds
+   lose on this hardware (PERF.md: random gather 16 ns/elem vs 4.6 for a
+   sort slot).
+3. **One-sort induced merge**: every suffix x gets the key
+   (chars s[x..e_x] padded, R*[e_x]) where e_x is the next lucky position
+   and R* the reduced ranks — ONE n-wide sort interleaves derived and
+   direct suffixes exactly, replacing the reference's two sequential waves.
+
+**The exactness lemma** (why no SA-IS type alphabet is needed): suppose
+suffixes x and y compare with equal chars through offset h-1 and h >= 1,
+where x+h == e_x is x's lucky cap but y+h is strictly inside y's phrase
+(hence non-lucky).  Matched chars at h-1 and h give s[y+h] >= s[y+h-1], so
+non-luckiness of y+h forces s[y+h] <= s[y+h+1]; luckiness of x+h gives
+s[x+h+1] < s[x+h] = s[y+h] <= s[y+h+1] — the comparison is decided
+STRICTLY at offset h+1 with suffix(x) < suffix(y), REGARDLESS of either
+continuation.  Past-cap key digits therefore encode "below every real
+char" (digit 1 < char digits c+2) and the one-sort merge is exact; the
+terminator (end of string, SENT_SMALL) takes digit 0, below both.  The
+same argument makes phrase-name order consistent with extended-phrase
+order, so the reduced-string suffix order equals the lucky-suffix order.
+
+Deep phrases (length > the static window D) are handled exactly: naming
+collisions among them invalidate the fast path (``ok=False`` — caller
+falls back to bwt_v3), while induce-stage ties fall into tie groups with
+guaranteed common context D+1 chars and are refined by the standard
+narrowed cascade (fast2 machinery) — text never needs it; Gauntlet-class
+periodicity falls back.
+
+SENT_LARGE reduces to SENT_SMALL by complementing the text and reversing
+the output (the a4 vs a7 convention duality, as in core/sais_tpu.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.scan import blocked_cummax
+from .doubling import SENT_LARGE, SENT_SMALL, _invert_permutation
+from .fast2 import (
+    _BIG,
+    _compact_from_round,
+    _narrow_cascade,
+    _narrow_caps,
+    suffix_ranks_windows,
+)
+
+_DIGIT_BASE = 260  # digits: 0 terminator < 1 past-cap < chars c+2 (2..257)
+
+
+def _lucky_mask(d: jnp.ndarray) -> jnp.ndarray:
+    """a4's IT-2 predicate, terminator-smallest: s[x] > s[x+1] (off-end
+    char counts smaller, so n-1 qualifies on the descent test) and
+    s[x] >= s[x-1] (vacuous at x=0).  Ref: a4/src/archon.c:166."""
+    n = d.shape[0]
+    nxt = jnp.concatenate([d[1:], jnp.full((1,), -1, jnp.int32)])
+    prv = jnp.concatenate([jnp.full((1,), -1, jnp.int32), d[:-1]])
+    return (d > nxt) & (d >= prv)
+
+
+def _next_lucky(lucky: jnp.ndarray, n: int) -> jnp.ndarray:
+    """e[x] = smallest y > x with lucky[y] (position n — the terminator —
+    is virtually lucky, capping every tail phrase)."""
+    vals = jnp.where(lucky, lax.iota(jnp.int32, n), jnp.int32(n))
+    revmin = lax.cummin(vals, reverse=True)
+    return jnp.concatenate([revmin[1:], jnp.full((1,), jnp.int32(n))])
+
+
+def _phrase_keys(d32: jnp.ndarray, dist: jnp.ndarray, D: int):
+    """K = (D+1)/3 packed int32 keys per position: slot j carries the char
+    digit s[x+j]+2 while j <= dist[x] (content INCLUDING the cap char),
+    the terminator digit 0 at the string end, and the past-cap digit 1
+    beyond — the lemma's exact ordering."""
+    n = d32.shape[0]
+    assert (D + 1) % 3 == 0
+    iota = lax.iota(jnp.int32, n)
+    # char digits over the extended domain [0, n]: terminator digit 0
+    ext = jnp.concatenate([d32 + 2, jnp.zeros((D + 1,), jnp.int32)])
+    keys = []
+    for k in range((D + 1) // 3):
+        packed = jnp.zeros((n,), jnp.int32)
+        for t in range(3):
+            j = 3 * k + t
+            dig = jnp.where(
+                (j <= dist) & (iota + j <= n),
+                lax.slice(ext, (j,), (j + n,)),
+                jnp.int32(1),
+            )
+            packed = packed * _DIGIT_BASE + dig
+        keys.append(packed)
+    return keys
+
+
+def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
+    n = data.shape[0]
+    d32 = data.astype(jnp.int32)
+    iota = lax.iota(jnp.int32, n)
+    one = jnp.ones((1,), jnp.bool_)
+
+    lucky = _lucky_mask(d32)
+    e = _next_lucky(lucky, n)
+    dist = e - iota  # phrase length in chars (cap char at slot dist)
+    keys = _phrase_keys(d32, dist, D)
+    K = len(keys)
+
+    # --- phrase naming: one n-wide sort, lucky rows to the front
+    flag = jnp.where(lucky, jnp.int32(0), jnp.int32(1))
+    named = lax.sort(tuple([flag] + keys + [iota, dist]), num_keys=1 + K)
+    flag_s, key_s, pos_s, dist_s = named[0], named[1 : 1 + K], named[1 + K], named[2 + K]
+    head = jnp.concatenate([one, flag_s[1:] != flag_s[:-1]])
+    neq = jnp.zeros((n - 1,), jnp.bool_)
+    for ks in key_s:
+        neq = neq | (ks[1:] != ks[:-1])
+    head = head | jnp.concatenate([one, neq])
+    names_s = blocked_cummax(jnp.where(head, iota, 0))
+    # validity: equal truncated keys with both phrases deeper than D would
+    # merge DISTINCT phrases into one name — unresolvable at this window
+    bad_name = jnp.any(~head & (dist_s > D) & (flag_s == 0))
+
+    # --- reduced string (names+1 in text order, 0-padded) at static M
+    M = min(n, max(4096, int(n * red_frac)))
+    m = jnp.sum(lucky.astype(jnp.int32))
+    overflow = m > M
+    lucky_row = flag_s[:M] == 0
+    poskey = jnp.where(lucky_row, pos_s[:M], _BIG)
+    nameval = jnp.where(lucky_row, names_s[:M] + 1, jnp.int32(0))
+    qpos, s1 = lax.sort((poskey, nameval), num_keys=1)
+    s1 = jnp.where(lax.iota(jnp.int32, M) < m, s1, jnp.int32(0))
+    r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
+
+    # --- scatter reduced ranks to lucky positions, propagate leftward
+    refarr = jnp.full((n + 1,), jnp.int32(-1))
+    refarr = refarr.at[jnp.where(qpos < n, qpos, n)].set(r_star, mode="drop")
+    refarr = refarr.at[n].set(jnp.int32(-1))  # terminator cap (never tied)
+    # refnext[x] = refarr[e[x]] without a random gather: first lucky value
+    # at a position > x via one reverse first-valid scan
+    vals = jnp.where(
+        jnp.concatenate([lucky, jnp.ones((1,), jnp.bool_)]),
+        refarr,
+        jnp.int32(-2),
+    )
+    # NOTE reverse-scan operand order: ``b`` is the element nearer the
+    # output index (probed on this jax build — a-preference silently picks
+    # the RIGHTMOST valid instead of the first)
+    filled = lax.associative_scan(
+        lambda a, b: jnp.where(b != -2, b, a), vals, reverse=True
+    )
+    refnext = filled[1:]
+    refkey = jnp.where(dist <= D, refnext, _BIG)
+
+    # --- one-sort induced merge: (phrase digits, reduced rank) + payload
+    merged = lax.sort(tuple(keys + [refkey, iota, prev]), num_keys=K + 1)
+    mkey_s, ref_s, mpos_s, prev_s = merged[:K], merged[K], merged[K + 1], merged[K + 2]
+    mneq = ref_s[1:] != ref_s[:-1]
+    for ks in mkey_s:
+        mneq = mneq | (ks[1:] != ks[:-1])
+    mhead = jnp.concatenate([one, mneq])
+    ranks_sorted = blocked_cummax(jnp.where(mhead, iota, 0))
+    nxt_h = jnp.concatenate([mhead[1:], one])
+    active_s = jnp.logical_not(mhead & nxt_h)
+    na = jnp.sum(active_s.astype(jnp.int32))
+
+    base_direct = ranks_sorted[jnp.argmax(mpos_s == 0).astype(jnp.int32)]
+
+    # --- residual: tie groups (all with common context >= D+1 chars by
+    # construction) refine through the standard narrowed cascade
+    cap1, cap2, cap3 = _narrow_caps(n)
+
+    def direct(args):
+        prev_s, ranks_sorted, mpos_s, active_s, na = args
+        return prev_s, base_direct
+
+    def residual(args):
+        prev_s, ranks_sorted, mpos_s, active_s, na = args
+        rank = _invert_permutation(mpos_s, ranks_sorted)
+        apos, ar0 = _compact_from_round(mpos_s, ranks_sorted, active_s, cap1)
+        apos0 = apos
+        _, rank, _ = _narrow_cascade(
+            rank, jnp.int32(D + 1), na, apos, ar0, SENT_SMALL, (cap1, cap2, cap3)
+        )
+        safe0 = jnp.where(apos0 >= 0, apos0, 0)
+        final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
+        L = prev_s.at[final_r].set(prev[safe0], mode="drop")
+        return L, rank[0]
+
+    L, base = lax.cond(
+        na == 0, direct, residual, (prev_s, ranks_sorted, mpos_s, active_s, na)
+    )
+    # validity: naming must be collision-free, the reduction must fit M,
+    # and the induce residue must fit the cascade's entry capacity (a
+    # deep-tie residue larger than cap1 — e.g. a giant single-symbol run —
+    # would silently overflow the compaction)
+    ok = jnp.logical_not(bad_name | overflow) & (na <= cap1)
+    return L, base, ok
+
+
+@functools.partial(jax.jit, static_argnames=("sentinel", "D", "red_frac"))
+def bwt_it2(data: jnp.ndarray, sentinel: str = SENT_SMALL, D: int = 11,
+            red_frac: float = 0.45):
+    """Forward BWT via the IT-2 reduced-volume structure: (L, base, ok).
+
+    ``ok=False`` marks inputs the static window/reduction caps cannot name
+    exactly (deep-phrase naming collisions, or lucky fraction > red_frac);
+    the caller must then fall back to ``bwt_v3`` — the same
+    candidate + exact-check + fallback discipline the streamed container
+    already applies per block."""
+    n = data.shape[0]
+    if n <= 1:
+        return data, jnp.int32(0), jnp.bool_(True)
+    prev = jnp.roll(data, 1)
+    if sentinel == SENT_LARGE:
+        L, b, ok = _it2_small(jnp.uint8(255) - data, prev, D, red_frac)
+        return L[::-1], jnp.int32(n - 1) - b, ok
+    return _it2_small(data, prev, D, red_frac)

@@ -136,8 +136,17 @@ def _sais_ranks_small(data: jnp.ndarray) -> jnp.ndarray:
     cmp = jnp.concatenate(
         [jnp.sign(d[1:] - d[:-1]), jnp.array([-1, 1], jnp.int32)]
     )
+    # reverse-scan operand order (probed on this jax build, round 5): ``b``
+    # is the element NEARER the output index.  The a-preference form picks
+    # the rightmost nonzero instead — every type came out S, no LMS
+    # positions existed, and the capped windows silently ran to the string
+    # end: still-correct ranks (cap-free windows degenerate to whole-string
+    # doubling) but ~log2(n) joint-rank rounds per phase, which is what
+    # made this the biggest program in the repo (PERF.md round-4 compile
+    # failure).  With first-to-the-RIGHT types the round count is
+    # log2(max LMS gap) as designed.
     filled = lax.associative_scan(
-        lambda a, b: jnp.where(a != 0, a, b), cmp, reverse=True
+        lambda a, b: jnp.where(b != 0, b, a), cmp, reverse=True
     )
     t = filled > 0
     lms = jnp.concatenate([jnp.zeros((1,), jnp.bool_), t[1:] & ~t[:-1]])

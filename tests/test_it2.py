@@ -1,0 +1,55 @@
+"""IT-2 reduced-volume BWT (core/it2.py) — exactness vs the v3 production
+path, both sentinel conventions, plus the exact-or-flagged contract on
+pathological inputs (VERDICT r4 #1: the reduced-sorted-volume structure)."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+
+def _check(arr, sent):
+    from archon_tpu.core.fast2 import bwt_v3
+    from archon_tpu.core.it2 import bwt_it2
+
+    a = jnp.asarray(arr)
+    L, b, ok = bwt_it2(a, sent)
+    if not bool(ok):
+        return "flagged"
+    Lw, bw = bwt_v3(a, sent)
+    assert (np.asarray(L) == np.asarray(Lw)).all()
+    assert int(b) == int(bw)
+    return "exact"
+
+
+@pytest.mark.parametrize("sent", ["small", "large"])
+def test_it2_matches_v3_on_corpora(sent):
+    from archon_tpu.utils.corpus import markup_like, text_like
+
+    assert _check(np.frombuffer(text_like(16384), np.uint8), sent) == "exact"
+    assert _check(np.frombuffer(markup_like(16384), np.uint8), sent) == "exact"
+
+
+@pytest.mark.parametrize("sent", ["small", "large"])
+def test_it2_fuzz_random_families(sent):
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        hi = int(rng.integers(3, 257))
+        n = int(rng.integers(2, 6000))
+        arr = rng.integers(0, hi, n).astype(np.uint8)
+        _check(arr, sent)  # exact or flagged, never silently wrong
+
+
+@pytest.mark.parametrize("sent", ["small", "large"])
+def test_it2_gauntlet_exact_or_flagged(sent):
+    from archon_tpu.utils.corpus import gauntlet_cases
+
+    for name, g in gauntlet_cases(32768).items():
+        _check(np.frombuffer(g, np.uint8), sent)
+
+
+def test_it2_edges():
+    for data in (b"", b"a", b"ba", b"ab", b"aaaa", b"banana"):
+        arr = np.frombuffer(data, np.uint8)
+        for sent in ("small", "large"):
+            _check(arr, sent)
