@@ -116,6 +116,13 @@ def main(argv=None):
                 help="shard the block batch over N devices (data parallel)",
             )
             gb.add_argument(
+                "--pack",
+                action="store_true",
+                help="entropy-pack each block (MTF+RLE0+Huffman, ATA2 "
+                "container) — the compressing output format; decode "
+                "auto-detects it",
+            )
+            gb.add_argument(
                 "--sp", type=int, default=1,
                 help="encode as ONE megablock text-sharded over N devices "
                 "(sharded SA -> BWT -> entropy pipeline; ATM1 container)",
@@ -166,6 +173,7 @@ def main(argv=None):
                 n_done = blocks.encode_to_path(
                     d, args.outfile, cfg.generation, cfg.block_size,
                     resume=True, verify=cfg.verify, impl=cfg.impl,
+                    pack=cfg.pack,
                 )
                 dt = time.perf_counter() - t0
                 import os as _os
@@ -179,7 +187,7 @@ def main(argv=None):
                     args,
                     lambda d: blocks.encode_file(
                         d, cfg.generation, cfg.block_size, verify=cfg.verify,
-                        impl=cfg.impl, dp=cfg.dp,
+                        impl=cfg.impl, dp=cfg.dp, pack=cfg.pack,
                     ),
                 )
         else:
@@ -215,6 +223,7 @@ def _config_from_args(args) -> "ArchonConfig":
     cfg.dp = getattr(args, "dp", cfg.dp)
     cfg.sp = getattr(args, "sp", cfg.sp)
     cfg.resume = getattr(args, "resume", cfg.resume)
+    cfg.pack = getattr(args, "pack", getattr(cfg, "pack", False))
     cfg.profile_dir = (
         getattr(args, "profile_dir", None) or os.environ.get("ARCHON_PROFILE_DIR")
     )

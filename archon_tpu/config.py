@@ -30,6 +30,9 @@ class ArchonConfig:
     # partial one, recompute the rest — io/blocks.encode_to_path)
     resume: bool = False            # --resume
 
+    # compressing container (ATA2: per-block MTF+RLE0+Huffman — entropy/pack)
+    pack: bool = False              # --pack
+
     # execution
     impl: str = "micro"             # container device program: micro (cascade-
                                     # free fast path) | v3 (in-program cascade)

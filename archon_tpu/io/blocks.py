@@ -30,9 +30,11 @@ import struct
 import numpy as np
 
 MAGIC = b"ATA1"
+MAGIC_PACKED = b"ATA2"  # per-block MTF+RLE0+Huffman payloads (entropy/pack)
 GENERATIONS = {"a4": 0, "a7": 1}
 GEN_NAMES = {v: k for k, v in GENERATIONS.items()}
 DEFAULT_BLOCK = 1 << 22  # 4 MiB, the x1 historical default (ArchonX1.c:19)
+FLAG_PACKED = 1
 
 
 def _fallback_row(row: np.ndarray, sentinel: str, verify: bool):
@@ -260,6 +262,23 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
     return out
 
 
+def _pack_payloads(results: list) -> list[bytes]:
+    """Entropy-pack each block's L on the host thread pool (the native
+    MTF/RLE0/bitpack calls release the GIL, so blocks pack on all cores —
+    the encode-side analog of the pooled native decode)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..entropy.pack import pack_block
+
+    items = [L for (L, _base) in results]
+    if len(items) > 1:
+        with ThreadPoolExecutor(
+            max_workers=min(len(items), os.cpu_count() or 1)
+        ) as ex:
+            return list(ex.map(pack_block, items))
+    return [pack_block(L) for L in items]
+
+
 def encode_file(
     data: bytes,
     generation: str = "a4",
@@ -267,13 +286,19 @@ def encode_file(
     verify: bool = True,
     impl: str = "micro",
     dp: int = 1,
+    pack: bool = False,
 ) -> bytes:
     """Encode into the blocked container.  ``impl`` selects the device
     program (micro = cascade-free batched fast path, v3 = in-program
     batched cascade, stream = per-block 1D dispatch stream — see
     ``_streamed_forward``); ``dp > 1`` shards the block batch over a
     dp-axis device mesh (parallel/blocks.py; ignored by stream, whose
-    blocks pipeline through one device's queue)."""
+    blocks pipeline through one device's queue).
+
+    ``pack=True`` writes the COMPRESSING container (ATA2): each block's
+    payload is MTF+RLE0+Huffman-packed (entropy/pack.py) — the bzip-class
+    back end the reference family names as its ratio goal but never ships
+    (README.md:17).  Frame: u32 n | u32 plen | payload | u32 base."""
     if generation not in GENERATIONS:
         raise ValueError(f"unknown generation {generation!r}")
     mesh = None
@@ -283,17 +308,24 @@ def encode_file(
         from ..parallel.blocks import make_mesh
 
         mesh = make_mesh({"dp": dp}, devices=jax.devices()[:dp])
-    header = MAGIC + struct.pack(
-        "<BBHI", GENERATIONS[generation], 0, 0, block_size
+    header = (MAGIC_PACKED if pack else MAGIC) + struct.pack(
+        "<BBHI", GENERATIONS[generation], FLAG_PACKED if pack else 0, 0,
+        block_size,
     )
     blocks = [data[i : i + block_size] for i in range(0, len(data), block_size)] or [b""]
+    results = _batched_forward(blocks, generation, verify, impl, mesh)
     chunks = [header]
-    for (L, base), blk in zip(
-        _batched_forward(blocks, generation, verify, impl, mesh), blocks
-    ):
-        chunks.append(struct.pack("<I", len(blk)))
-        chunks.append(L.tobytes())
-        chunks.append(struct.pack("<I", base))
+    if pack:
+        payloads = _pack_payloads(results)
+        for (L, base), blk, payload in zip(results, blocks, payloads):
+            chunks.append(struct.pack("<II", len(blk), len(payload)))
+            chunks.append(payload)
+            chunks.append(struct.pack("<I", base))
+    else:
+        for (L, base), blk in zip(results, blocks):
+            chunks.append(struct.pack("<I", len(blk)))
+            chunks.append(L.tobytes())
+            chunks.append(struct.pack("<I", base))
     return b"".join(chunks)
 
 
@@ -319,32 +351,40 @@ def _scan_complete_blocks(path, generation: str, block_size: int,
         return None
     with open(path, "rb") as f:
         head = f.read(12)
-        if head[:4] != MAGIC:
+        packed = head[:4] == MAGIC_PACKED
+        if head[:4] != MAGIC and not packed:
             return None
         gen_id, _flags, _rsvd, bs = struct.unpack("<BBHI", head[4:12])
         if gen_id != GENERATIONS[generation] or bs != block_size:
             return None
         pos, count, last = 12, 0, 12
         while True:
-            hdr = f.read(4)
-            if len(hdr) < 4:
+            hdr = f.read(8 if packed else 4)
+            if len(hdr) < (8 if packed else 4):
                 break
-            (n,) = struct.unpack("<I", hdr)
-            if pos + 8 + n > size:
+            if packed:
+                n, plen = struct.unpack("<II", hdr)
+                frame = 12 + plen
+            else:
+                (n,) = struct.unpack("<I", hdr)
+                plen = n
+                frame = 8 + n
+            if pos + frame > size:
                 break
             if expect_lens is not None and (
                 count >= len(expect_lens) or n != expect_lens[count]
             ):
                 break
-            f.seek(n + 4, 1)
+            f.seek(plen + 4, 1)
             last = pos
-            pos += 8 + n
+            pos += frame
             count += 1
-    return count, pos, last
+    return count, pos, last, packed
 
 
 def _last_frame_matches(path, frame_start: int, frame_end: int,
-                        generation: str, block: bytes) -> bool:
+                        generation: str, block: bytes,
+                        packed: bool = False) -> bool:
     """Round-trip the frame at [frame_start, frame_end) against ``block``:
     the input-drift guard for --resume.  A partial encode whose INPUT
     changed since (same lengths, different bytes) would otherwise keep
@@ -358,6 +398,28 @@ def _last_frame_matches(path, frame_start: int, frame_end: int,
     with open(path, "rb") as f:
         f.seek(frame_start)
         raw = f.read(frame_end - frame_start)
+    if packed:
+        if len(raw) < 12:
+            return False
+        n, plen = struct.unpack("<II", raw[:8])
+        if n != len(block) or len(raw) != plen + 12:
+            return False
+        try:
+            from ..entropy.pack import unpack_block
+
+            L = unpack_block(raw[8 : 8 + plen], n)
+        except ValueError:
+            return False
+        (base,) = struct.unpack("<I", raw[8 + plen :])
+        if n == 0:
+            return len(block) == 0
+        if base >= n:
+            return False
+        sentinel_large = generation != "a4"
+        try:
+            return native.unbwt(L, base, sentinel_large).tobytes() == block
+        except ValueError:
+            return False
     (n,) = struct.unpack("<I", raw[:4])
     if n != len(block) or len(raw) != n + 8:
         return False
@@ -391,6 +453,7 @@ def encode_to_path(
     flush_blocks: int = 16,
     verify: bool = True,
     impl: str = "micro",
+    pack: bool = False,
 ) -> int:
     """Streaming encode with checkpoint/resume at block granularity.
 
@@ -417,9 +480,11 @@ def encode_to_path(
         else None
     )
     if state is not None:
-        done, keep, last = state
-        if done > 0 and not _last_frame_matches(
-            path, last, keep, generation, blocks[done - 1]
+        done, keep, last, was_packed = state
+        if was_packed != pack:
+            state, done = None, 0  # container kind changed — restart
+        elif done > 0 and not _last_frame_matches(
+            path, last, keep, generation, blocks[done - 1], packed=pack
         ):
             # input drifted since the partial encode: stale frames would
             # silently decode to the OLD data — restart from scratch
@@ -434,17 +499,24 @@ def encode_to_path(
     with open(path, mode) as f:
         if mode == "wb":
             f.write(
-                MAGIC
-                + struct.pack("<BBHI", GENERATIONS[generation], 0, 0, block_size)
+                (MAGIC_PACKED if pack else MAGIC)
+                + struct.pack(
+                    "<BBHI", GENERATIONS[generation],
+                    FLAG_PACKED if pack else 0, 0, block_size,
+                )
             )
         todo = blocks[done:]
         for i in range(0, len(todo), flush_blocks):
             batch = todo[i : i + flush_blocks]
-            for (L, base), blk in zip(
-                _batched_forward(batch, generation, verify, impl), batch
-            ):
-                f.write(struct.pack("<I", len(blk)))
-                f.write(L.tobytes())
+            results = _batched_forward(batch, generation, verify, impl)
+            payloads = _pack_payloads(results) if pack else None
+            for t, ((L, base), blk) in enumerate(zip(results, batch)):
+                if pack:
+                    f.write(struct.pack("<II", len(blk), len(payloads[t])))
+                    f.write(payloads[t])
+                else:
+                    f.write(struct.pack("<I", len(blk)))
+                    f.write(L.tobytes())
                 f.write(struct.pack("<I", base))
                 computed += 1
             f.flush()
@@ -466,7 +538,8 @@ def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
     from ..core.unbwt import bwt_inverse
     import jax.numpy as jnp
 
-    if blob[:4] != MAGIC:
+    packed = blob[:4] == MAGIC_PACKED
+    if blob[:4] != MAGIC and not packed:
         raise ValueError("bad magic")
     gen_id, _flags, _rsvd, block_size = struct.unpack("<BBHI", blob[4:12])
     sentinel = SENT_SMALL if gen_id == 0 else SENT_LARGE
@@ -475,25 +548,34 @@ def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
     use_native = native.available()
 
     # parse framing first so blocks can decode in parallel
-    parsed = []  # (idx, L, base)
+    parsed = []  # (idx, L-or-packed-payload, base, n)
     pos = 12
     idx = 0
     while pos < len(blob):
-        (n,) = struct.unpack("<I", blob[pos : pos + 4])
-        pos += 4
-        L = np.frombuffer(blob[pos : pos + n], np.uint8)
-        pos += n
+        if packed:
+            n, plen = struct.unpack("<II", blob[pos : pos + 8])
+            pos += 8
+            payload = blob[pos : pos + plen]
+            pos += plen
+        else:
+            (n,) = struct.unpack("<I", blob[pos : pos + 4])
+            pos += 4
+            payload = np.frombuffer(blob[pos : pos + n], np.uint8)
+            pos += n
         (base,) = struct.unpack("<I", blob[pos : pos + 4])
         pos += 4
-        parsed.append((idx, L, base))
+        parsed.append((idx, payload, base, n))
         idx += 1
 
     def decode_one(item):
-        idx, L, base = item
-        n = len(L)
+        idx, L, base, n = item
         if not n:
             return b""
         try:
+            if packed:
+                from ..entropy.pack import unpack_block
+
+                L = unpack_block(L, n)
             if base >= n:
                 raise ValueError(f"block {idx}: base {base} out of range")
             if not strict and use_native and not native.verify_cycle(
@@ -528,16 +610,27 @@ def _decode_file(blob: bytes, strict: bool = True, on_error=None) -> bytes:
 
 def extract_block(blob: bytes, index: int) -> bytes:
     """Extract block #index as a standalone reference-format blob
-    (payload + trailing u32 base — decodable by the reference binary)."""
-    if blob[:4] != MAGIC:
+    (payload + trailing u32 base — decodable by the reference binary).
+    Packed (ATA2) frames are entropy-unpacked first, so any block of
+    either container feeds the reference decoder unchanged."""
+    packed = blob[:4] == MAGIC_PACKED
+    if blob[:4] != MAGIC and not packed:
         raise ValueError("bad magic")
     pos = 12
     i = 0
     while pos < len(blob):
-        (n,) = struct.unpack("<I", blob[pos : pos + 4])
-        payload = blob[pos + 4 : pos + 4 + n + 4]
-        if i == index:
-            return payload
-        pos += 8 + n
+        if packed:
+            n, plen = struct.unpack("<II", blob[pos : pos + 8])
+            if i == index:
+                from ..entropy.pack import unpack_block
+
+                L = unpack_block(blob[pos + 8 : pos + 8 + plen], n)
+                return L.tobytes() + blob[pos + 8 + plen : pos + 12 + plen]
+            pos += 12 + plen
+        else:
+            (n,) = struct.unpack("<I", blob[pos : pos + 4])
+            if i == index:
+                return blob[pos + 4 : pos + 8 + n]
+            pos += 8 + n
         i += 1
     raise IndexError(index)

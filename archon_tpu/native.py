@@ -76,6 +76,20 @@ def _build_lib():
     lib.archon_bitunpack.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64]
+    lib.archon_mtf_rle0.restype = ctypes.c_int64
+    lib.archon_mtf_rle0.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.archon_unrle0_unmtf.restype = ctypes.c_int64
+    lib.archon_unrle0_unmtf.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
+    lib.archon_bitpack16.restype = ctypes.c_int64
+    lib.archon_bitpack16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.archon_bitunpack16.restype = ctypes.c_int64
+    lib.archon_bitunpack16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
     lib.archon_map_open.restype = ctypes.c_void_p
     lib.archon_map_open.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
     lib.archon_map_data.restype = ctypes.POINTER(ctypes.c_uint8)
@@ -168,6 +182,160 @@ def bitunpack(words: np.ndarray, total_bits: int, code_values, code_lengths, n: 
     rc = lib.archon_bitunpack(_ptr(words), total_bits, _ptr(vals), _ptr(lens), _ptr(out), n)
     if rc != 0:
         raise ValueError("undecodable stream")
+    return out
+
+
+def mtf_rle0(L: np.ndarray) -> np.ndarray:
+    """MTF + zero-run (RUNA/RUNB bijective base-2) transform -> u16 symbol
+    stream over the 257-ary packed-container alphabet."""
+    L = np.ascontiguousarray(L, np.uint8)
+    lib = _build_lib()
+    if lib is None:
+        return _mtf_rle0_py(L)
+    syms = np.empty(len(L) + 1, np.uint16)
+    m = lib.archon_mtf_rle0(_ptr(L), len(L), _ptr(syms))
+    return syms[:m]
+
+
+def unrle0_unmtf(syms: np.ndarray, n: int) -> np.ndarray:
+    syms = np.ascontiguousarray(syms, np.uint16)
+    lib = _build_lib()
+    if lib is None:
+        return _unrle0_unmtf_py(syms, n)
+    out = np.empty(n, np.uint8)
+    rc = lib.archon_unrle0_unmtf(_ptr(syms), len(syms), _ptr(out), n)
+    if rc != 0:
+        raise ValueError("corrupt packed symbol stream")
+    return out
+
+
+def bitpack16(syms: np.ndarray, code_values, code_lengths):
+    syms = np.ascontiguousarray(syms, np.uint16)
+    vals = np.ascontiguousarray(code_values, np.uint32)
+    lens = np.ascontiguousarray(code_lengths, np.uint8)
+    lib = _build_lib()
+    if lib is None:
+        return _bitpack16_py(syms, vals, lens)
+    words = np.zeros(len(syms) + 2, np.uint32)
+    total = lib.archon_bitpack16(_ptr(syms), len(syms), _ptr(vals), _ptr(lens), _ptr(words))
+    return words, int(total)
+
+
+def bitunpack16(words: np.ndarray, total_bits: int, code_values, code_lengths, m: int):
+    words = np.ascontiguousarray(words, np.uint32)
+    need = (total_bits + 31) // 32 + 2  # wide loads may read past the end
+    if len(words) < need:
+        words = np.concatenate([words, np.zeros(need - len(words), np.uint32)])
+    vals = np.ascontiguousarray(code_values, np.uint32)
+    lens = np.ascontiguousarray(code_lengths, np.uint8)
+    lib = _build_lib()
+    if lib is None:
+        return _bitunpack16_py(words, total_bits, vals, lens, m)
+    out = np.empty(m, np.uint16)
+    rc = lib.archon_bitunpack16(
+        _ptr(words), total_bits, _ptr(vals), _ptr(lens), len(vals), _ptr(out), m
+    )
+    if rc != 0:
+        raise ValueError("undecodable packed stream")
+    return out
+
+
+# --- pure-python fallbacks (toolchain-free environments; exact semantics) ---
+
+def _mtf_rle0_py(L: np.ndarray) -> np.ndarray:
+    mtf = list(range(256))
+    out = []
+    run = 0
+
+    def emit(run):
+        while run > 0:
+            d = (run - 1) & 1
+            out.append(d)
+            run = (run - d - 1) >> 1
+
+    for c in L.tolist():
+        j = mtf.index(c)
+        if j == 0:
+            run += 1
+            continue
+        emit(run)
+        run = 0
+        mtf.pop(j)
+        mtf.insert(0, c)
+        out.append(j + 1)
+    emit(run)
+    return np.asarray(out, np.uint16)
+
+
+def _unrle0_unmtf_py(syms: np.ndarray, n: int) -> np.ndarray:
+    mtf = list(range(256))
+    out = np.empty(n, np.uint8)
+    w = 0
+    run, scale = 0, 1
+    for s in syms.tolist():
+        if s <= 1:
+            run += scale * (s + 1)
+            scale <<= 1
+            continue
+        if run:
+            if w + run > n:
+                raise ValueError("corrupt packed symbol stream")
+            out[w : w + run] = mtf[0]
+            w += run
+            run, scale = 0, 1
+        c = mtf.pop(s - 1)
+        mtf.insert(0, c)
+        if w >= n:
+            raise ValueError("corrupt packed symbol stream")
+        out[w] = c
+        w += 1
+    if run:
+        if w + run > n:
+            raise ValueError("corrupt packed symbol stream")
+        out[w : w + run] = mtf[0]
+        w += run
+    if w != n:
+        raise ValueError("corrupt packed symbol stream")
+    return out
+
+
+def _bitpack16_py(syms, vals, lens):
+    words = np.zeros(len(syms) + 2, np.uint32)
+    k = 0
+    for s in syms.tolist():
+        c, l = int(vals[s]), int(lens[s])
+        words[k >> 5] |= np.uint32((c << (k & 31)) & 0xFFFFFFFF)
+        if (k & 31) + l > 32:
+            words[(k >> 5) + 1] |= np.uint32(c >> (32 - (k & 31)))
+        k += l
+    return words, k
+
+
+def _bitunpack16_py(words, total_bits, vals, lens, m):
+    bits = np.unpackbits(
+        words.view(np.uint8), bitorder="little"
+    )[:total_bits]
+    by_len: dict[int, dict[int, int]] = {}
+    for s in range(len(vals)):
+        if lens[s]:
+            by_len.setdefault(int(lens[s]), {})[int(vals[s])] = s
+    out = np.empty(m, np.uint16)
+    pos = total_bits
+    for j in range(m - 1, -1, -1):
+        sym = -1
+        acc = 0
+        for l in range(1, 33):
+            if pos - l < 0:
+                break
+            acc = (acc << 1) | int(bits[pos - l])
+            got = by_len.get(l, {}).get(acc)
+            if got is not None:
+                sym = got
+                pos -= l
+                break
+        if sym < 0:
+            raise ValueError("undecodable packed stream")
+        out[j] = sym
     return out
 
 

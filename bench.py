@@ -380,6 +380,33 @@ def main():
             "a6_var_bwt_mbps",
         )
 
+        # decode + fallback numbers (VERDICT r4 missing #4 / weak #4),
+        # cache-warm via scripts/warm_a6.py
+        from archon_tpu.core.a6 import a6_decode, a6_forward
+
+        if "var_inverse_mbps" in marker and time.time() < deadline - 40:
+            out_v, base_v = a6_forward(npdata, "var")
+            blob = np.uint32(base_v).tobytes() + out_v.tobytes()
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                a6_decode(blob, "var")
+                times.append(time.perf_counter() - t0)
+            _record_extra(
+                "a6_var_inverse_mbps", round(bsize / 1e6 / min(times), 2)
+            )
+        if "var_fallback_mbps" in marker and time.time() < deadline - 30:
+            fb_size = int(marker.get("fallback_size", 1 << 20))
+            fb = np.full(fb_size, 65, np.uint8)
+            times = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                a6_forward(fb, "var")
+                times.append(time.perf_counter() - t0)
+            _record_extra(
+                "a6_var_fallback_mbps", round(fb_size / 1e6 / min(times), 2)
+            )
+
     def run_stream(marker):
         """Streamed per-block 1D dispatches (io/blocks impl='stream', the
         fastest measured production path — docs/PERF.md round 4: ~98 MB/s
@@ -476,6 +503,62 @@ def main():
             _record_extra("container_ratio", round(len(blob) / e2e_n, 4))
     except Exception:
         pass
+
+    # compression-ratio scoreboard (VERDICT r4 missing #3): the ATA2 packed
+    # container on MARKUP-shaped synthetic (the enwik8 structure class) —
+    # one cache-warm bwt_v3 dispatch for L, then the host pack/unpack
+    # (MTF+RLE0+Huffman, native) timed directly.  Plus the a6 var entropy
+    # stage's own bits/sym as a ratio.
+    try:
+        if time.time() < deadline - 45:
+            from archon_tpu.core.fast2 import bwt_v3
+            from archon_tpu.entropy.pack import pack_block, unpack_block
+            from archon_tpu.utils.corpus import markup_like
+
+            bs = 1 << 22  # the warm bwt_v3 shape (scripts/warm_stream.py)
+            md = markup_like(bs)
+            arr = jnp.asarray(np.frombuffer(md[::-1], np.uint8))
+            L, _b = bwt_v3(arr, "small")
+            Lh = np.asarray(L)
+            t0 = time.perf_counter()
+            payload = pack_block(Lh)
+            t1 = time.perf_counter()
+            back = unpack_block(payload, bs)
+            t2 = time.perf_counter()
+            assert (back == Lh).all()
+            _record_extra(
+                "container_packed_ratio", round((len(payload) + 24) / bs, 4)
+            )
+            _record_extra("pack_native_mbps", round(bs / 1e6 / (t1 - t0), 2))
+            _record_extra("unpack_native_mbps", round(bs / 1e6 / (t2 - t1), 2))
+
+            from archon_tpu.utils.tools import huffman_bits_per_sym
+
+            bps = huffman_bits_per_sym(np.frombuffer(md, np.uint8))
+            _record_extra("a6_var_code_ratio", round(bps / 8.0, 4))
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] pack stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # ATM1 (sharded megablock container) ratio + native recovery-decode
+    # MB/s (VERDICT r4 missing #4): the encode needs an sp mesh, so a
+    # subprocess builds a small ATM1 on a virtual CPU mesh and times the
+    # host-native decode — fields merged from its JSON line.
+    try:
+        if time.time() < deadline - 90:
+            import subprocess
+
+            r = subprocess.run(
+                [sys.executable, os.path.join(_REPO, "scripts", "atm1_bench.py")],
+                capture_output=True, timeout=240, text=True,
+            )
+            line = (r.stdout.strip().splitlines() or [""])[-1]
+            if line.startswith("{"):
+                for k, v in json.loads(line).items():
+                    _record_extra(k, v)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] atm1 stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # a6 compressor stages (byte 16 MiB + var 4 MiB), warm-cache gated like
     # blocks: scripts/warm_a6.py writes the marker after an on-relay compile

@@ -445,6 +445,166 @@ int64_t archon_bitunpack(const uint32_t* words, int64_t total_bits,
 }
 
 // ---------------------------------------------------------------------------
+// Block entropy pack: MTF + RLE0 + (caller-supplied) Huffman over a 257-ary
+// symbol stream — the bzip-class back end the packed container (ATA2)
+// applies per block.  The reference family stops at the BWT (a6 emits raw
+// decoded symbols, a6/src/bwt.c:303-335) and states compression parity with
+// YBS/SBC/bzip as the goal (README.md:17); this is that back end, with the
+// run coding in Wheeler's bijective base-2 (the bzip2 RUNA/RUNB scheme) so
+// zero-run lengths cost O(log run).
+//
+// Symbol alphabet (u16): 0 = RUNA, 1 = RUNB, MTF value v in 1..255 -> v+1.
+// ---------------------------------------------------------------------------
+
+static inline int64_t emit_run(int64_t run, uint16_t* syms, int64_t m) {
+    // bijective base-2 digits of `run`, LSB-first: d in {1,2} mapped to
+    // RUNA(0)/RUNB(1)
+    while (run > 0) {
+        int64_t d = (run - 1) & 1;  // 0 -> digit 1 (RUNA), 1 -> digit 2 (RUNB)
+        syms[m++] = (uint16_t)d;
+        run = (run - d - 1) >> 1;
+    }
+    return m;
+}
+
+int64_t archon_mtf_rle0(const uint8_t* L, int64_t n, uint16_t* syms) {
+    uint8_t mtf[256];
+    for (int i = 0; i < 256; ++i) mtf[i] = (uint8_t)i;
+    int64_t m = 0, run = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const uint8_t c = L[i];
+        int j = 0;
+        while (mtf[j] != c) ++j;
+        if (j == 0) {
+            ++run;
+            continue;
+        }
+        m = emit_run(run, syms, m);
+        run = 0;
+        memmove(mtf + 1, mtf, (size_t)j);
+        mtf[0] = c;
+        syms[m++] = (uint16_t)(j + 1);
+    }
+    return emit_run(run, syms, m);
+}
+
+int64_t archon_unrle0_unmtf(const uint16_t* syms, int64_t m, uint8_t* out,
+                            int64_t n) {
+    uint8_t mtf[256];
+    for (int i = 0; i < 256; ++i) mtf[i] = (uint8_t)i;
+    int64_t w = 0;
+    int64_t run = 0, scale = 1;
+    for (int64_t i = 0; i < m; ++i) {
+        const uint16_t s = syms[i];
+        if (s <= 1) {
+            run += scale * (int64_t)(s + 1);
+            scale <<= 1;
+            continue;
+        }
+        if (run) {
+            if (w + run > n) return -1;
+            memset(out + w, mtf[0], (size_t)run);
+            w += run;
+            run = 0;
+            scale = 1;
+        }
+        const int j = s - 1;
+        if (j > 255) return -1;
+        const uint8_t c = mtf[j];
+        if (w >= n) return -1;
+        memmove(mtf + 1, mtf, (size_t)j);
+        mtf[0] = c;
+        out[w++] = c;
+    }
+    if (run) {
+        if (w + run > n) return -1;
+        memset(out + w, mtf[0], (size_t)run);
+        w += run;
+    }
+    return w == n ? 0 : -1;
+}
+
+// u16-symbol variants of the bit-stream codec (same a6 stream semantics:
+// LSB-first packing, backward-decodable, first-bits decode table).
+int64_t archon_bitpack16(const uint16_t* syms, int64_t m,
+                         const uint32_t* code_values, const uint8_t* code_lengths,
+                         uint32_t* words) {
+    int64_t k = 0;
+    words[0] = 0;
+    for (int64_t i = 0; i < m; ++i) {
+        const uint32_t c = code_values[syms[i]];
+        const int len = code_lengths[syms[i]];
+        const int64_t k2 = k + len;
+        words[k >> 5] |= c << (k & 31);
+        if ((k >> 5) != (k2 >> 5))
+            words[k2 >> 5] = (len && (k & 31)) ? (c >> (32 - (k & 31))) : 0;
+        k = k2;
+    }
+    return k;
+}
+
+int64_t archon_bitunpack16(const uint32_t* words, int64_t total_bits,
+                           const uint32_t* code_values,
+                           const uint8_t* code_lengths, int nsym,
+                           uint16_t* out, int64_t m) {
+    const uint8_t* bytes = (const uint8_t*)words;
+    uint32_t table[1 << kDecodeBits] = {};  // (sym+1) << 8 | len; 0 = escape
+    int long_syms[33][512];
+    int long_cnt[33] = {};
+    for (int s = 0; s < nsym; ++s) {
+        const int l = code_lengths[s];
+        if (!l) continue;
+        if (l <= kDecodeBits) {
+            const uint32_t lo = code_values[s] << (kDecodeBits - l);
+            const uint32_t span = 1u << (kDecodeBits - l);
+            for (uint32_t w = lo; w < lo + span; ++w)
+                table[w] = (uint32_t)(((s + 1) << 8) | l);
+        } else if (l <= 32) {
+            long_syms[l][long_cnt[l]++] = s;
+        }
+    }
+    int64_t pos = total_bits;
+    for (int64_t j = m; j-- > 0;) {
+        int sym = -1, l = 0;
+        if (pos >= kDecodeBits) {
+            const uint32_t w = load_bits(bytes, pos - kDecodeBits, kDecodeBits);
+            const uint32_t e = table[w];
+            if (e) {
+                sym = (int)(e >> 8) - 1;
+                l = (int)(e & 0xFF);
+            } else {
+                for (l = kDecodeBits + 1; l <= 32 && l <= pos; ++l) {
+                    if (!long_cnt[l]) continue;
+                    const uint64_t acc = load_bits64(bytes, pos - l, l);
+                    for (int t = 0; t < long_cnt[l]; ++t) {
+                        const int s = long_syms[l][t];
+                        if (code_values[s] == (uint32_t)acc) { sym = s; break; }
+                    }
+                    if (sym >= 0) break;
+                }
+            }
+        } else {
+            uint32_t acc = 0;
+            for (l = 1; l <= pos; ++l) {
+                const int64_t b = pos - l;
+                acc = (acc << 1) | ((words[b >> 5] >> (b & 31)) & 1u);
+                for (int s = 0; s < nsym; ++s) {
+                    if (code_lengths[s] == l && code_values[s] == acc) {
+                        sym = s;
+                        break;
+                    }
+                }
+                if (sym >= 0) break;
+            }
+        }
+        if (sym < 0) return -1;
+        out[j] = (uint16_t)sym;
+        pos -= l;
+    }
+    return pos;  // 0 when the stream was fully consumed
+}
+
+// ---------------------------------------------------------------------------
 // mmap block reader: data-loader for the streaming pipeline.
 // ---------------------------------------------------------------------------
 struct ArchonMap {

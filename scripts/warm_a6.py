@@ -66,6 +66,46 @@ def main():
     var_map = jnp.asarray(_symbol_rank_map(build_codes(npdata, "var")))
     var_mbps, c2 = timed("var", var_map)
 
+    # a6 var INVERSE (VERDICT r4 missing #4: no decode number existed):
+    # code-ordered bucket starts + device pointer-doubling walk
+    from archon_tpu.core.a6 import a6_decode, a6_forward
+
+    out, base = a6_forward(npdata, "var")
+    blob = np.uint32(base).tobytes() + out.tobytes()
+    t0 = time.time()
+    a6_decode(blob, "var")
+    c3 = time.time() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a6_decode(blob, "var")
+        times.append(time.perf_counter() - t0)
+    inv_mbps = bsize / 1e6 / min(times)
+    print(
+        f"[warm_a6] var inverse {bsize >> 20}MiB: compile {c3:.0f}s, "
+        f"best {min(times)*1e3:.0f} ms = {inv_mbps:.1f} MB/s", flush=True,
+    )
+
+    # the all_coded fallback (VERDICT r4 weak #4): a single-distinct-symbol
+    # input gets a zero-length Huffman code and takes the literal bit-domain
+    # program — bench one case so the cliff has a number
+    fb_size = 1 << 20
+    fb_data = np.full(fb_size, 65, np.uint8)
+    t0 = time.time()
+    a6_forward(fb_data, "var")
+    c4 = time.time() - t0
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        a6_forward(fb_data, "var")
+        times.append(time.perf_counter() - t0)
+    fb_mbps = fb_size / 1e6 / min(times)
+    print(
+        f"[warm_a6] var all_coded-fallback {fb_size >> 20}MiB: compile "
+        f"{c4:.0f}s, best {min(times)*1e3:.0f} ms = {fb_mbps:.1f} MB/s",
+        flush=True,
+    )
+
     marker = os.path.join(_REPO, ".jax_cache", "a6_warm.marker")
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
@@ -77,7 +117,10 @@ def main():
                 "var_size": bsize,
                 "byte_mbps": round(byte_mbps, 2),
                 "var_mbps": round(var_mbps, 2),
-                "compile_s": round(c1 + c2, 1),
+                "var_inverse_mbps": round(inv_mbps, 2),
+                "fallback_size": fb_size,
+                "var_fallback_mbps": round(fb_mbps, 2),
+                "compile_s": round(c1 + c2 + c3 + c4, 1),
             },
             fh,
         )
