@@ -105,11 +105,13 @@ def main(argv=None):
                 "already in OUTFILE, truncate any partial frame, encode the rest",
             )
             gb.add_argument(
-                "--impl", default="micro", choices=["micro", "v3", "stream"],
+                "--impl", default="micro",
+                choices=["micro", "v3", "stream", "it2"],
                 help="device program: cascade-free batched fast path (micro), "
-                "in-program batched cascade (v3), or per-block streamed 1D "
+                "in-program batched cascade (v3), per-block streamed 1D "
                 "dispatches (stream — fastest measured; verify becomes a "
-                "full host round-trip check)",
+                "full host round-trip check), or the IT-2 reduced-volume "
+                "induced path with automatic v3 fallback (it2)",
             )
             gb.add_argument(
                 "--dp", type=int, default=1,

@@ -611,55 +611,70 @@ def _bwt_v3_impl(data: jnp.ndarray, prev: jnp.ndarray, sentinel: str):
         full_cond, full_body, (jnp.int32(12), si, rs, ac, na, prev_s, G0)
     )
 
-    # Inversion-free micro tail, run UNCONDITIONALLY (fixed ~tens of ms at
-    # 2^26; the common path for text anyway): blocks that resolved inside
-    # the loop extract all-pads and the micro rounds no-op.  Flat on
-    # purpose: the nested cond tree (direct/micro/cascade) made the batched
-    # twin of this program uncompilable on this backend (docs/PERF.md), and
-    # a single cond also cuts this program's own 460 s cold compile.
-    apos_m, ar0_m = _extract_actives_sorted(si, rs, ac, na, cap3)
-    g = jnp.maximum(k // 4, 1)
-    pos1, r1m, _na1 = _micro_round(G, g, apos_m, ar0_m, 4, 16, sentinel)
-    mpos, mr, mna = _micro_round(G, g, pos1, r1m, 16, 64, sentinel)
-    micro_done = (na <= cap3) & (mna == 0)
-
-    def emit_micro(args):
-        """Scatter-correct the carried payload at the refined actives."""
-        k, si, rs, ac, na, prev_s, G, pos, r = args
-        valid = pos >= 0
-        safe = jnp.where(valid, pos, 0)
-        tgt = jnp.where(valid, r, jnp.int32(n))
-        L = prev_s.at[tgt].set(prev[safe], mode="drop")
+    # Resolved-inside-the-loop fast exit (round 5): at production block
+    # sizes text usually resolves within the full rounds (BASELINE.md tie
+    # profile: 0.00 tied at ctx 48), so the micro tail's extraction +
+    # refinement sorts (~10 ms of the 48 ms 2^22 program) ran for nothing
+    # on the common path.  The tail now sits behind na == 0.  (Round 3's
+    # flat-tail note concerned the BATCHED twin's compile; the 1D nested
+    # cond compiles and is cached once.)
+    def emit_direct(args):
+        k, si, rs, ac, na, prev_s = args
         b_slot = jnp.argmax(si == 0).astype(jnp.int32)
-        base = jnp.maximum(
-            rs[b_slot],
-            jnp.max(jnp.where(valid & (pos == 0), r, jnp.int32(-1))),
+        return prev_s, rs[b_slot]
+
+    def tail_path(args):
+        k, si, rs, ac, na, prev_s = args
+        apos_m, ar0_m = _extract_actives_sorted(si, rs, ac, na, cap3)
+        g = jnp.maximum(k // 4, 1)
+        pos1, r1m, _na1 = _micro_round(G, g, apos_m, ar0_m, 4, 16, sentinel)
+        mpos, mr, mna = _micro_round(G, g, pos1, r1m, 16, 64, sentinel)
+        micro_done = (na <= cap3) & (mna == 0)
+
+        def emit_micro(args):
+            """Scatter-correct the carried payload at the refined actives."""
+            k, si, rs, ac, na, prev_s, pos, r = args
+            valid = pos >= 0
+            safe = jnp.where(valid, pos, 0)
+            tgt = jnp.where(valid, r, jnp.int32(n))
+            L = prev_s.at[tgt].set(prev[safe], mode="drop")
+            b_slot = jnp.argmax(si == 0).astype(jnp.int32)
+            base = jnp.maximum(
+                rs[b_slot],
+                jnp.max(jnp.where(valid & (pos == 0), r, jnp.int32(-1))),
+            )
+            return L, base
+
+        def cascade_path(args):
+            k, si, rs, ac, na, prev_s, pos, r = args
+            rank = _invert_permutation(si, rs)
+            apos, ar0 = _compact_from_round(si, rs, ac, cap1)
+            apos0 = apos  # entry actives: only their slots' payload can move
+
+            k, rank, na2 = _narrow_cascade(
+                rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
+            )
+
+            # Resolved suffixes' ranks never moved (positional-rank
+            # invariant), so prev_s is correct everywhere except the entry
+            # actives: scatter-correct just those slots.
+            safe0 = jnp.where(apos0 >= 0, apos0, 0)
+            final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
+            L = prev_s.at[final_r].set(prev[safe0], mode="drop")
+            return L, rank[0]
+
+        return lax.cond(
+            micro_done,
+            emit_micro,
+            cascade_path,
+            (k, si, rs, ac, na, prev_s, mpos, mr),
         )
-        return L, base
-
-    def cascade_path(args):
-        k, si, rs, ac, na, prev_s, G, pos, r = args
-        rank = _invert_permutation(si, rs)
-        apos, ar0 = _compact_from_round(si, rs, ac, cap1)
-        apos0 = apos  # entry actives: only their slots' payload can move
-
-        k, rank, na2 = _narrow_cascade(
-            rank, k, na, apos, ar0, sentinel, (cap1, cap2, cap3)
-        )
-
-        # Resolved suffixes' ranks never moved (positional-rank invariant),
-        # so prev_s is correct everywhere except the entry actives:
-        # scatter-correct just those slots.
-        safe0 = jnp.where(apos0 >= 0, apos0, 0)
-        final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
-        L = prev_s.at[final_r].set(prev[safe0], mode="drop")
-        return L, rank[0]
 
     return lax.cond(
-        micro_done,
-        emit_micro,
-        cascade_path,
-        (k, si, rs, ac, na, prev_s, G, mpos, mr),
+        na == 0,
+        emit_direct,
+        tail_path,
+        (k, si, rs, ac, na, prev_s),
     )
 
 

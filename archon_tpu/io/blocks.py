@@ -70,7 +70,8 @@ def _fallback_row(row: np.ndarray, sentinel: str, verify: bool):
 PIPE_BLOCKS = 8
 
 
-def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
+def _streamed_forward(blocks: list[bytes], generation: str, verify: bool,
+                      use_it2: bool = False):
     """Per-block 1D dispatch stream (``impl="stream"``): each block runs the
     whole-file v3 pipeline (core/fast2.bwt_v3 — exact for every input, its
     narrowed cascade and micro tail included, so NO fallback rows exist)
@@ -101,6 +102,31 @@ def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE
     window = int(os.environ.get("ARCHON_PIPE_BLOCKS", PIPE_BLOCKS)) or len(blocks)
 
+    if use_it2:
+        # IT-2 reduced-volume candidate (core/it2): dispatch bwt_it2 per
+        # block; a block whose static caps can't resolve exactly flags
+        # ok=False and is recomputed through bwt_v3 at fetch time — the
+        # same candidate + exact-check + fallback discipline verify=True
+        # applies end-to-end anyway.
+        from ..core.it2 import bwt_it2
+
+        def dispatch_block(arr):
+            return bwt_it2(arr, sentinel)
+
+        def fetch_result(arr, out):
+            L, base, ok = out
+            if bool(ok):
+                return np.asarray(L), int(base)
+            L, base = bwt_v3(arr, sentinel)
+            return np.asarray(L), int(base)
+    else:
+        def dispatch_block(arr):
+            return bwt_v3(arr, sentinel)
+
+        def fetch_result(arr, out):
+            L, base = out
+            return np.asarray(L), int(base)
+
     from .. import native
 
     use_native = native.available() and verify
@@ -108,18 +134,18 @@ def _streamed_forward(blocks: list[bytes], generation: str, verify: bool):
     def fetch(h):
         if h is None:
             return (np.zeros(0, np.uint8), 0, None)
-        orig, L, base = h
-        return (np.asarray(L), int(base), orig)
+        orig, arr, out = h
+        L, base = fetch_result(arr, out)
+        return (L, base, orig)
 
     fetched = []
-    pending = deque()  # (original_block_bytes, device L, device base) | None
+    pending = deque()  # (original_block_bytes, device input, device result) | None
     for b in blocks:
         if len(b) == 0:
             pending.append(None)
         else:
-            rev = np.frombuffer(b[::-1], np.uint8)
-            L, base = bwt_v3(jnp.asarray(rev), sentinel)
-            pending.append((b, L, base))
+            arr = jnp.asarray(np.frombuffer(b[::-1], np.uint8))
+            pending.append((b, arr, dispatch_block(arr)))
         if len(pending) > window:
             fetched.append(fetch(pending.popleft()))
     while pending:
@@ -179,6 +205,8 @@ def _batched_forward(blocks: list[bytes], generation: str, verify: bool = True,
 
     if impl == "stream":
         return _streamed_forward(blocks, generation, verify)
+    if impl == "it2":
+        return _streamed_forward(blocks, generation, verify, use_it2=True)
     if impl not in ("micro", "v3"):
         raise ValueError(f"unknown impl {impl!r}")
     sentinel = SENT_SMALL if generation == "a4" else SENT_LARGE

@@ -53,3 +53,21 @@ def test_it2_edges():
         arr = np.frombuffer(data, np.uint8)
         for sent in ("small", "large"):
             _check(arr, sent)
+
+
+def test_container_it2_impl_roundtrip(tmp_path):
+    """--impl it2 routes blocks through the reduced-volume path with
+    automatic v3 fallback; containers stay byte-identical with the
+    streamed path (same format, same per-block L/base)."""
+    from archon_tpu.io import blocks
+    from archon_tpu.utils.corpus import gauntlet_cases, text_like
+
+    data = text_like(5 * 8192, seed=13)
+    a = blocks.encode_file(data, "a4", block_size=8192, impl="it2")
+    b = blocks.encode_file(data, "a4", block_size=8192, impl="stream")
+    assert a == b
+    assert blocks.decode_file(a) == data
+    # a fallback-forcing block (giant zero run) still round-trips
+    g = gauntlet_cases(8192)["zeros"] + text_like(8192, seed=14)
+    blob = blocks.encode_file(g, "a4", block_size=8192, impl="it2")
+    assert blocks.decode_file(blob) == g
