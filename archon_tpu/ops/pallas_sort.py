@@ -8,10 +8,17 @@ because both are VPU-compute-bound on the compare network, XLA's schedule
 is simply better, and the hypothesized HBM-streaming tax amortizes away
 under pipelined dispatch.  The merge levels additionally tripped a Mosaic
 lowering bug (i8->i1 trunci; fixed here) and then a TPU-worker runtime
-fault on the shared relay — recorded, not further debugged, since even a
-perfect fused merge could not recover a 2x tile-stage deficit.  Kept for
-its proven grid/DMA/roll idioms (the repo's on-hardware Pallas
-foundation); wiring into the production sorter was removed.
+fault — recorded, not further debugged, since even a perfect fused merge
+could not recover a 2x tile-stage deficit.
+
+WARNING: the complete ``sort_operands`` path (tile + merge levels) is
+KNOWN-CRASHING on hardware — the compiled kernel faulted and restarted
+the TPU worker process on the shared relay, which also kills any
+concurrent remote-compile RPCs and wedges the relay for ~20 minutes.  Do
+NOT run the full path on shared TPU hardware; interpret-mode tests are
+the supported way to exercise it.  Kept for its proven grid/DMA/roll
+idioms (the repo's on-hardware Pallas foundation); wiring into the
+production sorter was removed.
 
 Original design rationale (superseded by the measurement above):
 A sort that keeps tiles resident in VMEM pays the O(log^2 T) bitonic
