@@ -132,6 +132,39 @@ def cmd_a6break(log2n=24):
     )
 
 
+def cmd_gather256(log2n=24):
+    """Probe lowerings for the a6 symbol remap (a 256-entry permutation
+    gather over n bytes): plain take vs one-hot masked-sum (MXU/VPU-
+    friendly, no gather HLO)."""
+    _setup()
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = 1 << log2n
+    arr = _data_arr(n)
+    table = jnp.asarray(np.random.default_rng(0).permutation(256).astype(np.uint8))
+
+    @jax.jit
+    def via_gather(c, t):
+        return t[c]
+
+    @jax.jit
+    def via_onehot(c, t):
+        # n x 256 compare + masked sum, fused row-wise by XLA (no gather)
+        i = jnp.arange(256, dtype=jnp.uint8)
+        return jnp.sum(
+            jnp.where(c[:, None] == i[None, :], t[None, :], jnp.uint8(0)),
+            axis=1,
+        )
+
+    for label, fn in (("take", via_gather), ("onehot", via_onehot)):
+        _time(f"gather256-{label}", lambda fn=fn: fn(arr, table),
+              lambda o: int(o[0]) + int(o[-1]))
+
+
 def cmd_sweep():
     _setup()
     from archon_tpu.core.fast2 import bwt_v3

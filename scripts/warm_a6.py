@@ -66,6 +66,26 @@ def main():
     var_map = jnp.asarray(_symbol_rank_map(build_codes(npdata, "var")))
     var_mbps, c2 = timed("var", var_map)
 
+    # a6 at the 4 MiB stream-block shape (the production container's block
+    # size): pipelined dispatches, the same methodology as the stream
+    # headline — a6 throughput when processing a stream of 4 MiB blocks
+    s22 = 1 << 22
+    arr22 = jnp.asarray(npdata[:s22])
+    t0 = time.time()
+    out = _a6_symbol_transform(arr22, var_map)
+    float(out[-1])
+    c22 = time.time() - t0
+    t0 = time.perf_counter()
+    for _ in range(4):
+        out = _a6_symbol_transform(arr22, var_map)
+    float(out[-1])
+    piped = (time.perf_counter() - t0) / 4
+    stream_mbps = s22 / 1e6 / piped
+    print(
+        f"[warm_a6] var 4MiB pipelined: compile {c22:.0f}s, "
+        f"{piped*1e3:.0f} ms = {stream_mbps:.1f} MB/s", flush=True,
+    )
+
     # a6 var INVERSE (VERDICT r4 missing #4: no decode number existed):
     # code-ordered bucket starts + device pointer-doubling walk
     from archon_tpu.core.a6 import a6_decode, a6_forward
@@ -118,6 +138,7 @@ def main():
                 "byte_mbps": round(byte_mbps, 2),
                 "var_mbps": round(var_mbps, 2),
                 "var_inverse_mbps": round(inv_mbps, 2),
+                "var_stream4_mbps": round(stream_mbps, 2),
                 "fallback_size": fb_size,
                 "var_fallback_mbps": round(fb_mbps, 2),
                 "compile_s": round(c1 + c2 + c3 + c4, 1),
