@@ -114,7 +114,10 @@ def _phrase_keys(d32: jnp.ndarray, dist: jnp.ndarray, D: int):
     return keys
 
 
-def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
+@functools.partial(jax.jit, static_argnames=("D", "M"))
+def _it2_stage1(data: jnp.ndarray, D: int, M: int):
+    """Classify + name phrases + build the reduced string.  Returns
+    (keys..., dist, s1, qpos, bad_name, overflow)."""
     n = data.shape[0]
     d32 = data.astype(jnp.int32)
     iota = lax.iota(jnp.int32, n)
@@ -141,7 +144,6 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     bad_name = jnp.any(~head & (dist_s > D) & (flag_s == 0))
 
     # --- reduced string (names+1 in text order, 0-padded) at static M
-    M = min(n, max(4096, int(n * red_frac)))
     m = jnp.sum(lucky.astype(jnp.int32))
     overflow = m > M
     lucky_row = flag_s[:M] == 0
@@ -149,7 +151,18 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     nameval = jnp.where(lucky_row, names_s[:M] + 1, jnp.int32(0))
     qpos, s1 = lax.sort((poskey, nameval), num_keys=1)
     s1 = jnp.where(lax.iota(jnp.int32, M) < m, s1, jnp.int32(0))
-    r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
+    return tuple(keys) + (dist, s1, qpos, bad_name, overflow)
+
+
+@functools.partial(jax.jit, static_argnames=("D",))
+def _it2_stage2(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
+                r_star, D: int):
+    """Induced merge + residual refinement.  Returns (L, base, fits)."""
+    n = data.shape[0]
+    iota = lax.iota(jnp.int32, n)
+    one = jnp.ones((1,), jnp.bool_)
+    K = len(keys)
+    lucky = _lucky_mask(data.astype(jnp.int32))
 
     # --- scatter reduced ranks to lucky positions, propagate leftward
     refarr = jnp.full((n + 1,), jnp.int32(-1))
@@ -172,7 +185,7 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     refkey = jnp.where(dist <= D, refnext, _BIG)
 
     # --- one-sort induced merge: (phrase digits, reduced rank) + payload
-    merged = lax.sort(tuple(keys + [refkey, iota, prev]), num_keys=K + 1)
+    merged = lax.sort(tuple(keys) + (refkey, iota, prev), num_keys=K + 1)
     mkey_s, ref_s, mpos_s, prev_s = merged[:K], merged[K], merged[K + 1], merged[K + 2]
     mneq = ref_s[1:] != ref_s[:-1]
     for ks in mkey_s:
@@ -209,24 +222,38 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     L, base = lax.cond(
         na == 0, direct, residual, (prev_s, ranks_sorted, mpos_s, active_s, na)
     )
-    # validity: naming must be collision-free, the reduction must fit M,
-    # and the induce residue must fit the cascade's entry capacity (a
+    # ``fits``: the induce residue must fit the cascade's entry capacity (a
     # deep-tie residue larger than cap1 — e.g. a giant single-symbol run —
     # would silently overflow the compaction)
-    ok = jnp.logical_not(bad_name | overflow) & (na <= cap1)
+    return L, base, na <= cap1
+
+
+def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
+    """Three separately-jitted stages (round 5): the monolithic program's
+    remote compile never returned within 90 min (the round-4 sais failure
+    mode); splitting at the reduced-solve boundary keeps each program
+    v3-sized AND reuses ``suffix_ranks_windows``'s own cache entry.  One
+    extra dispatch per stage; intermediates stay device-resident."""
+    n = data.shape[0]
+    M = min(n, max(4096, int(n * red_frac)))
+    out1 = _it2_stage1(data, D, M)
+    keys, (dist, s1, qpos, bad_name, overflow) = out1[:-5], out1[-5:]
+    r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
+    L, base, fits = _it2_stage2(data, prev, keys, dist, qpos, r_star, D)
+    ok = jnp.logical_not(bad_name | overflow) & fits
     return L, base, ok
 
 
-@functools.partial(jax.jit, static_argnames=("sentinel", "D", "red_frac"))
 def bwt_it2(data: jnp.ndarray, sentinel: str = SENT_SMALL, D: int = 11,
             red_frac: float = 0.45):
     """Forward BWT via the IT-2 reduced-volume structure: (L, base, ok).
 
     ``ok=False`` marks inputs the static window/reduction caps cannot name
-    exactly (deep-phrase naming collisions, or lucky fraction > red_frac);
-    the caller must then fall back to ``bwt_v3`` — the same
-    candidate + exact-check + fallback discipline the streamed container
-    already applies per block."""
+    exactly (deep-phrase naming collisions, lucky fraction > red_frac, or
+    an oversized induce residue); the caller must then fall back to
+    ``bwt_v3`` — the same candidate + exact-check + fallback discipline
+    the streamed container already applies per block.  NOT itself a jit:
+    it orchestrates three jitted stage programs (see ``_it2_small``)."""
     n = data.shape[0]
     if n <= 1:
         return data, jnp.int32(0), jnp.bool_(True)
