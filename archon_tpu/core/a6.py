@@ -176,6 +176,19 @@ def _a6_transform(data: jnp.ndarray, code_values: jnp.ndarray,
     return out, base
 
 
+def _remap256(c: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """256-entry byte remap WITHOUT a gather: one-hot compare + masked sum,
+    which XLA fuses row-wise on the VPU.  Measured on the v5e at 2^24
+    (scripts/measure_r5.py gather256): plain ``table[c]`` 170.3 ms
+    pipelined vs this form 27.4 ms — the table gather was ~35% of the
+    whole a6 program (docs/PERF.md round-5 a6 attribution)."""
+    i = jnp.arange(256, dtype=jnp.uint8)
+    return jnp.sum(
+        jnp.where(c[:, None] == i[None, :], table[None, :], jnp.uint8(0)),
+        axis=1,
+    )
+
+
 @jax.jit
 def _a6_symbol_transform(data: jnp.ndarray, code_map: jnp.ndarray):
     """Jitted a6 forward, n-symbol path (every prefix-free table, via the
@@ -199,7 +212,7 @@ def _a6_symbol_transform(data: jnp.ndarray, code_map: jnp.ndarray):
     old suffix_ranks_v2 + emission-sort path measured 36 MB/s where the v3
     structure runs the same size at ~68 (PERF.md round-4 roadmap)."""
     rev = data[::-1]
-    s = code_map[rev].astype(jnp.uint8)
+    s = _remap256(rev, code_map)
     payload = jnp.roll(rev, 1)
     return bwt_v3_payload(s, payload, SENT_LARGE)
 

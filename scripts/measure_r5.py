@@ -165,13 +165,13 @@ def cmd_gather256(log2n=24):
               lambda o: int(o[0]) + int(o[-1]))
 
 
-def cmd_sweep():
+def cmd_sweep(blogs=(22, 21, 20)):
     _setup()
     from archon_tpu.core.fast2 import bwt_v3
 
     total = 1 << 26
     arr_full = _data_arr(total)
-    for blog in (22, 21, 20):
+    for blog in blogs:
         bsz = 1 << blog
         nb = total >> blog
         blks = [arr_full[i * bsz : (i + 1) * bsz] for i in range(nb)]
@@ -208,6 +208,10 @@ def main():
         cmd_a6break(arg or 24)
     elif cmd == "sweep":
         cmd_sweep()
+    elif cmd == "sweep2":
+        cmd_sweep((19, 18))
+    elif cmd == "gather256":
+        cmd_gather256(arg or 24)
     else:
         raise SystemExit(f"unknown subcommand {cmd}")
 
