@@ -235,7 +235,12 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     v3-sized AND reuses ``suffix_ranks_windows``'s own cache entry.  One
     extra dispatch per stage; intermediates stay device-resident."""
     n = data.shape[0]
-    M = min(n, max(4096, int(n * red_frac)))
+    # Round M UP to a power of two: every program shape this relay has
+    # ever compiled in minutes was a power of two; the only shape class
+    # that ever hung the remote compile service (>75 min, twice) was the
+    # odd-length M = int(0.45 n) reduced solve.  Power-of-two M costs a
+    # slightly larger reduced problem and removes the pathology.
+    M = min(n, max(4096, 1 << (int(n * red_frac) - 1).bit_length()))
     out1 = _it2_stage1(data, D, M)
     keys, (dist, s1, qpos, bad_name, overflow) = out1[:-5], out1[-5:]
     r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
