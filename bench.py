@@ -118,6 +118,7 @@ def warn_stale(marker: dict, sources, stage: str, script: str) -> None:
 # as fields.
 _STATE = {"results": {}, "extra": {}, "printed": False}
 _LOCK = threading.Lock()
+_STREAM_RESULTS: list = []  # (L, base) per streamed block, for decode timing
 
 
 def _record(result: dict, priority: int = 0) -> None:
@@ -445,11 +446,25 @@ def main():
             outs = [bwt_v3(b, "small") for b in blks]
             return outs[-1]  # (L, base); base fetch = stream barrier
 
-        return _measure(
+        label = (
+            f"{bsz >> 20}MiB" if bsz >= (1 << 20) else f"{bsz >> 10}KiB"
+        )
+        out = _measure(
             step, blks[0], size,
-            f"forward_bwt_stream{bsz >> 20}MiB_{name}_{size >> 20}MiB",
+            f"forward_bwt_stream{label}_{name}_{size >> 20}MiB",
             deadline, iters, priority=4,
         )
+        # stash the full block set for the decode stage: a single tail
+        # block understates the pooled native decode at small block sizes
+        if time.time() < deadline - 90:
+            try:
+                outs = [bwt_v3(b, "small") for b in blks]
+                _STREAM_RESULTS.extend(
+                    (np.asarray(L), int(b)) for L, b in outs
+                )
+            except Exception:
+                pass
+        return out
 
     out = None
     warm_shape = None
@@ -632,30 +647,36 @@ def main():
     # host-native decode of the output just produced (the reference ships
     # decode timing too, a4/src/main.c:53)
     try:
-        if out is not None and time.time() < deadline - 20:
+        if (out is not None or _STREAM_RESULTS) and time.time() < deadline - 20:
             from archon_tpu import native
 
             if native.available():
                 from concurrent.futures import ThreadPoolExecutor
 
-                L = np.asarray(out[0])
-                base = np.asarray(out[1])
-                if L.ndim == 1:
-                    L, base = L[None, :], np.asarray([base])
+                if _STREAM_RESULTS:
+                    # the full streamed block set (pooled multi-core decode,
+                    # the same shape decode_file runs)
+                    pairs = _STREAM_RESULTS
+                else:
+                    L = np.asarray(out[0])
+                    base = np.asarray(out[1])
+                    if L.ndim == 1:
+                        L, base = L[None, :], np.asarray([base])
+                    pairs = [(L[b], int(base[b])) for b in range(L.shape[0])]
+                total = sum(len(L) for L, _ in pairs)
                 t0 = time.perf_counter()
                 # the native LF walk releases the GIL; blocks decode on all
                 # cores (same pooling as io.blocks.decode_container)
                 with ThreadPoolExecutor(
-                    max_workers=min(L.shape[0], os.cpu_count() or 1)
+                    max_workers=min(len(pairs), os.cpu_count() or 1)
                 ) as ex:
                     list(
                         ex.map(
-                            lambda b: native.unbwt(L[b], int(base[b]), False),
-                            range(L.shape[0]),
+                            lambda p: native.unbwt(p[0], p[1], False), pairs
                         )
                     )
                 dt = time.perf_counter() - t0
-                _record_extra("decode_native_mbps", round(L.size / 1e6 / dt, 2))
+                _record_extra("decode_native_mbps", round(total / 1e6 / dt, 2))
     except Exception:
         pass
 

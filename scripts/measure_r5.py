@@ -210,6 +210,8 @@ def main():
         cmd_sweep()
     elif cmd == "sweep2":
         cmd_sweep((19, 18))
+    elif cmd == "sweep3":
+        cmd_sweep((17,))
     elif cmd == "gather256":
         cmd_gather256(arg or 24)
     else:
