@@ -308,8 +308,11 @@ def _a6_decode_raw(blob: bytes, config: str = "byte") -> bytes:
     # var: rebuild the Huffman table from the payload histogram (the BWT is
     # a permutation, so frequencies match the original) and walk with
     # code-ordered bucket starts — the correct inverse the reference lacks
-    # (its -u uses byte-ordered buckets; see golden/a6.py)
-    from ..core.unbwt import bwt_inverse_with_starts
+    # (its -u uses byte-ordered buckets; see golden/a6.py).  The walk runs
+    # on the native host runtime (round 5: the device pointer-doubling walk
+    # measured 4.7 MB/s at 16 MiB on the relay; the native segmented MLP
+    # walk does 100+ on 2 cores).
+    from .. import native
 
     codes = build_encoder_var(np.bincount(L, minlength=256))
     keys = np.array(
@@ -320,12 +323,9 @@ def _a6_decode_raw(blob: bytes, config: str = "byte") -> bytes:
         np.int64,
     )
     counts = np.bincount(L, minlength=256)
-    starts = np.zeros(256, np.int32)
+    starts = np.zeros(256, np.int64)
     acc = 0
     for c in np.argsort(keys, kind="stable"):
         starts[c] = acc
         acc += int(counts[c])
-    out = bwt_inverse_with_starts(
-        jnp.asarray(L), jnp.int32(base), jnp.asarray(starts)
-    )
-    return np.asarray(out).tobytes()
+    return native.unbwt_starts(L, base, starts).tobytes()

@@ -64,6 +64,10 @@ def _build_lib():
     lib.archon_unbwt.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.archon_unbwt_starts.restype = ctypes.c_int
+    lib.archon_unbwt_starts.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.archon_verify_cycle.restype = ctypes.c_int
     lib.archon_verify_cycle.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
@@ -129,6 +133,31 @@ def unbwt(L: np.ndarray, base: int, sentinel_large: bool) -> np.ndarray:
     P = np.empty(n, np.int32)
     out = np.empty(n, np.uint8)
     rc = lib.archon_unbwt(_ptr(L), n, base, int(sentinel_large), _ptr(P), _ptr(out))
+    if rc != 0:
+        raise ValueError("invalid BWT payload")
+    return out
+
+
+def unbwt_starts(L: np.ndarray, base: int, starts: np.ndarray) -> np.ndarray:
+    """Native LF walk with caller-supplied bucket starts (the a6 'var'
+    inverse: Huffman-code-ordered buckets; base-last roll).  Falls back to
+    the device pointer-doubling walk when the toolchain is absent."""
+    L = np.ascontiguousarray(L, np.uint8)
+    n = len(L)
+    lib = _build_lib()
+    if lib is None:
+        import jax.numpy as jnp
+
+        from .core.unbwt import bwt_inverse_with_starts
+
+        out = bwt_inverse_with_starts(
+            jnp.asarray(L), jnp.int32(base), jnp.asarray(starts, jnp.int32)
+        )
+        return np.asarray(out)
+    st = np.ascontiguousarray(starts, np.int64)
+    P = np.empty(n, np.int32)
+    out = np.empty(n, np.uint8)
+    rc = lib.archon_unbwt_starts(_ptr(L), n, base, _ptr(st), _ptr(P), _ptr(out))
     if rc != 0:
         raise ValueError("invalid BWT payload")
     return out

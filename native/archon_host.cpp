@@ -84,7 +84,8 @@ static int walk_threads(int64_t n) {
 // Computes the bucket starts itself from its per-chunk histograms (one
 // parallel pass serves both jobs — no separate serial histogram).
 static void build_packed_table(const uint8_t* L, int64_t n, int64_t base,
-                               int sentinel_large, uint32_t* T, int nthreads) {
+                               int sentinel_large, uint32_t* T, int nthreads,
+                               const int64_t* custom_starts = nullptr) {
     const uint8_t cb = L[base];
     std::vector<std::vector<int64_t>> hist((size_t)nthreads,
                                            std::vector<int64_t>(256, 0));
@@ -101,9 +102,12 @@ static void build_packed_table(const uint8_t* L, int64_t n, int64_t base,
         histo(0);
         for (auto& th : ts) th.join();
     }
-    // bucket starts R from the chunk hists (re-adding base's count)
+    // bucket starts R from the chunk hists (re-adding base's count), or the
+    // caller's (e.g. the a6 var inverse's Huffman-code-ordered buckets)
     int64_t R[256];
-    {
+    if (custom_starts) {
+        memcpy(R, custom_starts, sizeof(R));
+    } else {
         int64_t k = n;
         for (int c = 256; c--;) {
             int64_t total = (c == cb) ? 1 : 0;
@@ -284,6 +288,47 @@ int archon_unbwt(const uint8_t* L, int64_t n, int64_t base, int sentinel_large,
     for (int64_t i = 0; i < n; ++i) {
         out[i] = L[kk];
         kk = P[kk];
+    }
+    return 0;
+}
+
+// Starts-parameterized inverse (the a6 'var' inverse: Huffman-code-ordered
+// bucket starts, a6/src/bwt.c:459-478 with the code-order fix the
+// reference's own -u lacks — see golden/a6.py).  Base-last (large) roll.
+int archon_unbwt_starts(const uint8_t* L, int64_t n, int64_t base,
+                        const int64_t* starts, int32_t* P, uint8_t* out) {
+    if (n <= 0 || base < 0 || base >= n) return n == 0 ? 0 : -1;
+    if (n <= (int64_t)1 << 24) {
+        const int nthreads = walk_threads(n);
+        uint32_t* T = (uint32_t*)P;
+        if (nthreads > 1) {
+            build_packed_table(L, n, base, /*sentinel_large=*/1, T, nthreads,
+                               starts);
+            return segmented_walk(T, n, base, out, nthreads);
+        }
+        int64_t R[256];
+        memcpy(R, starts, sizeof(R));
+        for (int64_t i = 0; i < base; ++i)
+            T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+        for (int64_t i = base + 1; i < n; ++i)
+            T[i] = ((uint32_t)R[L[i]]++ << 8) | L[i];
+        T[base] = ((uint32_t)R[L[base]]++ << 8) | L[base];
+        uint32_t e = T[base];
+        for (int64_t i = 0; i < n; ++i) {
+            out[i] = (uint8_t)e;
+            e = T[e >> 8];
+        }
+        return 0;
+    }
+    int64_t R[256];
+    memcpy(R, starts, sizeof(R));
+    for (int64_t i = 0; i < base; ++i) P[i] = (int32_t)R[L[i]]++;
+    for (int64_t i = base + 1; i < n; ++i) P[i] = (int32_t)R[L[i]]++;
+    P[base] = (int32_t)R[L[base]]++;
+    int32_t k = (int32_t)base;
+    for (int64_t i = 0; i < n; ++i) {
+        out[i] = L[k];
+        k = P[k];
     }
     return 0;
 }
