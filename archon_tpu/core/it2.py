@@ -234,6 +234,9 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     mode); splitting at the reduced-solve boundary keeps each program
     v3-sized AND reuses ``suffix_ranks_windows``'s own cache entry.  One
     extra dispatch per stage; intermediates stay device-resident."""
+    import os
+    import time as _time
+
     n = data.shape[0]
     # Round M UP to a power of two: every program shape this relay has
     # ever compiled in minutes was a power of two; the only shape class
@@ -241,10 +244,22 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     # odd-length M = int(0.45 n) reduced solve.  Power-of-two M costs a
     # slightly larger reduced problem and removes the pathology.
     M = min(n, max(4096, 1 << (int(n * red_frac) - 1).bit_length()))
+    dbg = os.environ.get("ARCHON_IT2_DEBUG")
+
+    def _tick(label, x):
+        if dbg:
+            t0 = _time.time()
+            jnp.asarray(x)[..., :1].sum().item()
+            print(f"[it2-debug] {label}: forced in {_time.time()-t0:.1f}s",
+                  flush=True)
+
     out1 = _it2_stage1(data, D, M)
     keys, (dist, s1, qpos, bad_name, overflow) = out1[:-5], out1[-5:]
+    _tick("stage1", s1)
     r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
+    _tick("windows", r_star)
     L, base, fits = _it2_stage2(data, prev, keys, dist, qpos, r_star, D)
+    _tick("stage2", L)
     ok = jnp.logical_not(bad_name | overflow) & fits
     return L, base, ok
 
