@@ -19,8 +19,10 @@ sys.path.insert(0, _REPO)
 
 
 def main():
-    nb = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    blog = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    small_only = "--small-only" in sys.argv[1:]
+    nb = int(args[0]) if args else 16
+    blog = int(args[1]) if len(args) > 1 else 22
 
     import jax
 
@@ -47,10 +49,11 @@ def main():
     L, base = bwt_v3(blks[0], "small")
     int(base)
     print(f"[warm_stream] small compile {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    L, base = bwt_v3(blks[0], "large")
-    int(base)
-    print(f"[warm_stream] large compile {time.time()-t0:.0f}s", flush=True)
+    if not small_only:
+        t0 = time.time()
+        L, base = bwt_v3(blks[0], "large")
+        int(base)
+        print(f"[warm_stream] large compile {time.time()-t0:.0f}s", flush=True)
 
     times = []
     for _ in range(3):
@@ -66,6 +69,24 @@ def main():
 
     marker = os.path.join(_REPO, ".jax_cache", "stream_warm.marker")
     os.makedirs(os.path.dirname(marker), exist_ok=True)
+    # best-shape-wins: a sweep probe must not demote the marker to a slower
+    # shape — keep an existing same-hash marker whose measured mbps is higher
+    try:
+        with open(marker) as fh:
+            prev = json.load(fh)
+        if (
+            prev.get("hash") == bench_mod.program_hash()
+            and float(prev.get("mbps", 0.0)) > mbps
+            and (prev.get("nblocks"), prev.get("block")) != (nb, bsz)
+        ):
+            print(
+                f"[warm_stream] keeping existing marker "
+                f"{prev['nblocks']}x{prev['block']} at {prev['mbps']} MB/s "
+                f"(> {mbps:.1f})", flush=True,
+            )
+            return
+    except Exception:
+        pass
     with open(marker, "w") as fh:
         json.dump(
             {
