@@ -155,9 +155,16 @@ def _it2_stage1(data: jnp.ndarray, D: int, M: int):
 
 
 @functools.partial(jax.jit, static_argnames=("D",))
-def _it2_stage2(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
-                r_star, D: int):
-    """Induced merge + residual refinement.  Returns (L, base, fits)."""
+def _it2_merge(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
+               r_star, D: int):
+    """One-sort induced merge.  Returns (L_direct, base_direct, na,
+    ranks_sorted, mpos_s, active_s): when na == 0 (every tie group
+    resolved — the text-corpus common case) L_direct/base_direct ARE the
+    answer; otherwise ``_it2_residual`` refines.  The residual cascade
+    lives in its OWN program (round 5): embedding it in a lax.cond branch
+    here made the merge program the one shape class whose remote compile
+    never returned (>20 min, repeatedly) — the host decides on the
+    fetched na instead, exactly like the container's resolved-row check."""
     n = data.shape[0]
     iota = lax.iota(jnp.int32, n)
     one = jnp.ones((1,), jnp.bool_)
@@ -197,35 +204,28 @@ def _it2_stage2(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
     na = jnp.sum(active_s.astype(jnp.int32))
 
     base_direct = ranks_sorted[jnp.argmax(mpos_s == 0).astype(jnp.int32)]
+    return prev_s, base_direct, na, ranks_sorted, mpos_s, active_s
 
-    # --- residual: tie groups (all with common context >= D+1 chars by
-    # construction) refine through the standard narrowed cascade
+
+@functools.partial(jax.jit, static_argnames=("D",))
+def _it2_residual(prev: jnp.ndarray, prev_s: jnp.ndarray,
+                  ranks_sorted: jnp.ndarray, mpos_s: jnp.ndarray,
+                  active_s: jnp.ndarray, na: jnp.ndarray, D: int):
+    """Residual refinement: tie groups (all with common context >= D+1
+    chars by construction) refine through the standard narrowed cascade.
+    A separate program from the merge — see ``_it2_merge``."""
+    n = prev.shape[0]
     cap1, cap2, cap3 = _narrow_caps(n)
-
-    def direct(args):
-        prev_s, ranks_sorted, mpos_s, active_s, na = args
-        return prev_s, base_direct
-
-    def residual(args):
-        prev_s, ranks_sorted, mpos_s, active_s, na = args
-        rank = _invert_permutation(mpos_s, ranks_sorted)
-        apos, ar0 = _compact_from_round(mpos_s, ranks_sorted, active_s, cap1)
-        apos0 = apos
-        _, rank, _ = _narrow_cascade(
-            rank, jnp.int32(D + 1), na, apos, ar0, SENT_SMALL, (cap1, cap2, cap3)
-        )
-        safe0 = jnp.where(apos0 >= 0, apos0, 0)
-        final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
-        L = prev_s.at[final_r].set(prev[safe0], mode="drop")
-        return L, rank[0]
-
-    L, base = lax.cond(
-        na == 0, direct, residual, (prev_s, ranks_sorted, mpos_s, active_s, na)
+    rank = _invert_permutation(mpos_s, ranks_sorted)
+    apos, ar0 = _compact_from_round(mpos_s, ranks_sorted, active_s, cap1)
+    apos0 = apos
+    _, rank, _ = _narrow_cascade(
+        rank, jnp.int32(D + 1), na, apos, ar0, SENT_SMALL, (cap1, cap2, cap3)
     )
-    # ``fits``: the induce residue must fit the cascade's entry capacity (a
-    # deep-tie residue larger than cap1 — e.g. a giant single-symbol run —
-    # would silently overflow the compaction)
-    return L, base, na <= cap1
+    safe0 = jnp.where(apos0 >= 0, apos0, 0)
+    final_r = jnp.where(apos0 >= 0, rank[safe0], jnp.int32(n))
+    L = prev_s.at[final_r].set(prev[safe0], mode="drop")
+    return L, rank[0]
 
 
 def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
@@ -258,9 +258,18 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
     _tick("stage1", s1)
     r_star = suffix_ranks_windows(s1, 1, SENT_SMALL)
     _tick("windows", r_star)
-    L, base, fits = _it2_stage2(data, prev, keys, dist, qpos, r_star, D)
-    _tick("stage2", L)
-    ok = jnp.logical_not(bad_name | overflow) & fits
+    L, base, na, ranks_sorted, mpos_s, active_s = _it2_merge(
+        data, prev, keys, dist, qpos, r_star, D
+    )
+    _tick("merge", L)
+    cap1, _c2, _c3 = _narrow_caps(n)
+    if int(na) > 0:  # host-side branch: the residual cascade is its own
+        # program, compiled only when a block actually needs it
+        L, base = _it2_residual(
+            prev, L, ranks_sorted, mpos_s, active_s, na, D
+        )
+        _tick("residual", L)
+    ok = jnp.logical_not(bad_name | overflow) & (na <= cap1)
     return L, base, ok
 
 
