@@ -182,13 +182,23 @@ def _it2_merge(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
         refarr,
         jnp.int32(-2),
     )
+    # pad the scan to a power-of-two width: the (n+1)-length scan is the
+    # last odd-length structure in this program, and odd-length wide ops
+    # are the one shape class that reliably hangs this relay's remote
+    # compile (>75 min, the round-4/5 odd-M reduced solve; this merge
+    # program without the pad: two >25-min non-returns).  Trailing -2
+    # padding is transparent to the first-valid combine.
+    m_pad = 1 << int(n).bit_length()  # >= n+1 for every n >= 1
+    vals = jnp.concatenate(
+        [vals, jnp.full((m_pad - (n + 1),), jnp.int32(-2))]
+    )
     # NOTE reverse-scan operand order: ``b`` is the element nearer the
     # output index (probed on this jax build — a-preference silently picks
     # the RIGHTMOST valid instead of the first)
     filled = lax.associative_scan(
         lambda a, b: jnp.where(b != -2, b, a), vals, reverse=True
     )
-    refnext = filled[1:]
+    refnext = filled[1 : n + 1]
     refkey = jnp.where(dist <= D, refnext, _BIG)
 
     # --- one-sort induced merge: (phrase digits, reduced rank) + payload
