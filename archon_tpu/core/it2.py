@@ -171,27 +171,25 @@ def _it2_merge(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
     K = len(keys)
     lucky = _lucky_mask(data.astype(jnp.int32))
 
-    # --- scatter reduced ranks to lucky positions, propagate leftward
-    refarr = jnp.full((n + 1,), jnp.int32(-1))
+    # --- scatter reduced ranks to lucky positions, propagate leftward.
+    # The whole working domain is padded to a power-of-two width m_pad:
+    # odd-length wide ops ((n+1)-domain scatter/where/scan) are the shape
+    # class that reliably hangs this relay's remote compile (>75 min on
+    # the round-4/5 odd-M reduced solve; the unpadded merge program:
+    # three >18-min non-returns).  Padding is semantically transparent —
+    # positions > n are invalid (-2) for the first-valid scan.
+    m_pad = 1 << int(n).bit_length()  # >= n+1 for every n >= 1
+    iota_p = lax.iota(jnp.int32, m_pad)
+    refarr = jnp.full((m_pad,), jnp.int32(-1))
     refarr = refarr.at[jnp.where(qpos < n, qpos, n)].set(r_star, mode="drop")
     refarr = refarr.at[n].set(jnp.int32(-1))  # terminator cap (never tied)
     # refnext[x] = refarr[e[x]] without a random gather: first lucky value
-    # at a position > x via one reverse first-valid scan
-    vals = jnp.where(
-        jnp.concatenate([lucky, jnp.ones((1,), jnp.bool_)]),
-        refarr,
-        jnp.int32(-2),
-    )
-    # pad the scan to a power-of-two width: the (n+1)-length scan is the
-    # last odd-length structure in this program, and odd-length wide ops
-    # are the one shape class that reliably hangs this relay's remote
-    # compile (>75 min, the round-4/5 odd-M reduced solve; this merge
-    # program without the pad: two >25-min non-returns).  Trailing -2
-    # padding is transparent to the first-valid combine.
-    m_pad = 1 << int(n).bit_length()  # >= n+1 for every n >= 1
-    vals = jnp.concatenate(
-        [vals, jnp.full((m_pad - (n + 1),), jnp.int32(-2))]
-    )
+    # at a position > x via one reverse first-valid scan; the terminator
+    # at n is virtually lucky, the padding beyond it never valid
+    valid = jnp.concatenate(
+        [lucky, jnp.zeros((m_pad - n,), jnp.bool_)]
+    ) | (iota_p == n)
+    vals = jnp.where(valid, refarr, jnp.int32(-2))
     # NOTE reverse-scan operand order: ``b`` is the element nearer the
     # output index (probed on this jax build — a-preference silently picks
     # the RIGHTMOST valid instead of the first)
