@@ -171,32 +171,24 @@ def _it2_merge(data: jnp.ndarray, prev: jnp.ndarray, keys, dist, qpos,
     K = len(keys)
     lucky = _lucky_mask(data.astype(jnp.int32))
 
-    # --- scatter reduced ranks to lucky positions, propagate leftward.
-    # The whole working domain is padded to a power-of-two width m_pad:
-    # odd-length wide ops ((n+1)-domain scatter/where/scan) are the shape
-    # class that reliably hangs this relay's remote compile (>75 min on
-    # the round-4/5 odd-M reduced solve; the unpadded merge program:
-    # three >18-min non-returns).  Padding is semantically transparent —
-    # positions > n are invalid (-2) for the first-valid scan.
-    m_pad = 1 << int(n).bit_length()  # >= n+1 for every n >= 1
-    iota_p = lax.iota(jnp.int32, m_pad)
-    refarr = jnp.full((m_pad,), jnp.int32(-1))
-    refarr = refarr.at[jnp.where(qpos < n, qpos, n)].set(r_star, mode="drop")
-    refarr = refarr.at[n].set(jnp.int32(-1))  # terminator cap (never tied)
-    # refnext[x] = refarr[e[x]] without a random gather: first lucky value
-    # at a position > x via one reverse first-valid scan; the terminator
-    # at n is virtually lucky, the padding beyond it never valid
-    valid = jnp.concatenate(
-        [lucky, jnp.zeros((m_pad - n,), jnp.bool_)]
-    ) | (iota_p == n)
-    vals = jnp.where(valid, refarr, jnp.int32(-2))
-    # NOTE reverse-scan operand order: ``b`` is the element nearer the
-    # output index (probed on this jax build — a-preference silently picks
-    # the RIGHTMOST valid instead of the first)
-    filled = lax.associative_scan(
-        lambda a, b: jnp.where(b != -2, b, a), vals, reverse=True
+    # --- propagate reduced ranks leftward: refnext[x] = r* of the first
+    # lucky position > x.  Lucky positions are ordered, so that lucky's
+    # 0-based index IS the inclusive-cumsum count c[x] of luckies <= x,
+    # and the whole propagation is one native cumsum + one MONOTONE
+    # n-from-M gather — both op classes this relay compiles routinely
+    # (the cascade's narrowed rounds).  The earlier scatter + custom
+    # first-valid associative_scan formulation never returned from the
+    # remote compiler in FOUR isolated attempts (>18-25 min each,
+    # monolithic/split/scan-padded/domain-padded — docs/PERF.md); a
+    # custom-combine scan lowers to a log-depth slice/pad/concat HLO
+    # cascade, the prime remaining suspect.  c[x] == m (no lucky to the
+    # right) maps to the terminator's never-tied -1.
+    M = r_star.shape[0]
+    m = jnp.sum(lucky.astype(jnp.int32))
+    c = jnp.cumsum(lucky.astype(jnp.int32))
+    refnext = jnp.where(
+        c < m, r_star[jnp.minimum(c, jnp.int32(M - 1))], jnp.int32(-1)
     )
-    refnext = filled[1 : n + 1]
     refkey = jnp.where(dist <= D, refnext, _BIG)
 
     # --- one-sort induced merge: (phrase digits, reduced rank) + payload
