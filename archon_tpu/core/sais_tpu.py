@@ -145,6 +145,11 @@ def _sais_ranks_small(data: jnp.ndarray) -> jnp.ndarray:
     # made this the biggest program in the repo (PERF.md round-4 compile
     # failure).  With first-to-the-RIGHT types the round count is
     # log2(max LMS gap) as designed.
+    # RELAY CAVEAT (round 5, PERF.md "it2 RESOLVED"): custom-combine
+    # associative_scan never returns from this relay's remote compiler at
+    # multi-MiB widths (fine at this module's 2^18 existence-proof shape).
+    # If this path ever needs large shapes there, reformulate as marker
+    # cumsum + compacted-value gather, as core/it2.py's merge now does.
     filled = lax.associative_scan(
         lambda a, b: jnp.where(b != 0, b, a), cmp, reverse=True
     )
