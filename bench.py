@@ -41,6 +41,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 _BLOCKS_MARKER = os.path.join(_REPO, ".jax_cache", "blocks_warm.marker")
 _A6_MARKER = os.path.join(_REPO, ".jax_cache", "a6_warm.marker")
 _STREAM_MARKER = os.path.join(_REPO, ".jax_cache", "stream_warm.marker")
+_IT2_MARKER = os.path.join(_REPO, ".jax_cache", "it2_warm.marker")
 
 
 _BLOCKS_SOURCES = (
@@ -645,6 +646,42 @@ def main():
                 warn_stale(am, _A6_SOURCES, "a6", "scripts/warm_a6.py")
     except Exception as e:  # noqa: BLE001
         print(f"[bench] a6 stage failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+    # it2 reduced-volume decision number (VERDICT r4 #1): the Itoh-Tanaka
+    # fractional-sort candidate, warm-gated like a6 (marker written by
+    # scripts/measure_r5.py it2 after its on-relay compile).  Production
+    # stays bwt_v3 — this field keeps the measured decision on the
+    # scoreboard.  Ref: a4/src/archon.c:163-194; docs/PERF.md "it2
+    # RESOLVED".
+    try:
+        if impl == "" and os.path.exists(_IT2_MARKER) and time.time() < deadline - 60:
+            with open(_IT2_MARKER) as fh:
+                im = json.load(fh)
+            it2_srcs = _BLOCKS_SOURCES + ("archon_tpu/core/it2.py",)
+            if im.get("hash") == program_hash(it2_srcs):
+                from archon_tpu.core.it2 import bwt_it2
+
+                i_n = int(im.get("size", 1 << 22))
+                i_d = data
+                if len(i_d) < i_n:
+                    _, i_d = load_or_synthesize(i_n)
+                i_arr = jnp.asarray(np.frombuffer(i_d[:i_n], np.uint8))
+                out_i = bwt_it2(i_arr, "small")
+                int(out_i[1]) + int(out_i[2])  # warm-cache load + force
+                times = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    out_i = bwt_it2(i_arr, "small")
+                    int(out_i[1]) + int(out_i[2])
+                    times.append(time.perf_counter() - t0)
+                _record_extra(
+                    "it2_bwt_mbps", round(i_n / 1e6 / min(times), 2)
+                )
+            else:
+                warn_stale(im, it2_srcs, "it2", "scripts/measure_r5.py it2")
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] it2 stage failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
 
     # bonus metric with leftover budget: the reference a4 binary itself on
     # the SAME data and host (single-core CPU, the hardware class it was

@@ -83,6 +83,28 @@ def cmd_it2(log2n=22):
         f"{mb/p_it:.1f} MB/s (pipelined); ratio it2/v3 = {p_it/p_v3:.2f}x",
         flush=True,
     )
+    # write the bench marker: the it2 programs compiled on this relay, so
+    # bench records the reduced-volume decision number (it2_bwt_mbps) in
+    # every BENCH file from here on
+    import json
+
+    import bench as bench_mod
+
+    marker = os.path.join(_REPO, ".jax_cache", "it2_warm.marker")
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    srcs = bench_mod._BLOCKS_SOURCES + ("archon_tpu/core/it2.py",)
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "size": n,
+                "mbps": round(mb / p_it, 2),
+                "ok": ok,
+                "hash": bench_mod.program_hash(srcs),
+                "files": bench_mod._file_hashes(srcs),
+            },
+            fh,
+        )
+    print(f"[it2] marker written: {marker}", flush=True)
 
 
 def cmd_sais(log2n=18):
