@@ -228,12 +228,14 @@ def _it2_residual(prev: jnp.ndarray, prev_s: jnp.ndarray,
     return L, rank[0]
 
 
-def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
-    """Three separately-jitted stages (round 5): the monolithic program's
-    remote compile never returned within 90 min (the round-4 sais failure
-    mode); splitting at the reduced-solve boundary keeps each program
-    v3-sized AND reuses ``suffix_ranks_windows``'s own cache entry.  One
-    extra dispatch per stage; intermediates stay device-resident."""
+def _it2_dispatch(data: jnp.ndarray, prev: jnp.ndarray, D: int,
+                  red_frac: float):
+    """Enqueue the three jitted stage programs WITHOUT any host sync
+    (round 5: the monolithic program's remote compile never returned
+    within 90 min — the round-4 sais failure mode; splitting at the
+    reduced-solve boundary keeps each program v3-sized AND reuses
+    ``suffix_ranks_windows``'s own cache entry).  Returns the device-side
+    state ``_it2_finish`` resolves."""
     import os
     import time as _time
 
@@ -262,6 +264,17 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
         data, prev, keys, dist, qpos, r_star, D
     )
     _tick("merge", L)
+    pre_bad = bad_name | overflow
+    return (L, base, na, ranks_sorted, mpos_s, active_s, pre_bad, _tick)
+
+
+def _it2_finish(prev: jnp.ndarray, state, D: int):
+    """Resolve a dispatched it2 block: ONE host fetch of ``na`` decides
+    whether the (separately jitted, rarely needed) residual cascade runs.
+    The fetch lives HERE, not at dispatch time, so the streamed container
+    pipelines it2 dispatches exactly like v3 dispatches."""
+    L, base, na, ranks_sorted, mpos_s, active_s, pre_bad, _tick = state
+    n = prev.shape[0]
     cap1, _c2, _c3 = _narrow_caps(n)
     if int(na) > 0:  # host-side branch: the residual cascade is its own
         # program, compiled only when a block actually needs it
@@ -269,8 +282,34 @@ def _it2_small(data: jnp.ndarray, prev: jnp.ndarray, D: int, red_frac: float):
             prev, L, ranks_sorted, mpos_s, active_s, na, D
         )
         _tick("residual", L)
-    ok = jnp.logical_not(bad_name | overflow) & (na <= cap1)
+    ok = jnp.logical_not(pre_bad) & (na <= cap1)
     return L, base, ok
+
+
+def bwt_it2_async(data: jnp.ndarray, sentinel: str = SENT_SMALL,
+                  D: int = 11, red_frac: float = 0.45):
+    """Pipelined form of ``bwt_it2``: enqueues the stage programs with NO
+    host sync and returns a zero-arg ``finish() -> (L, base, ok)``.  The
+    streamed container dispatches a window of blocks through this before
+    finishing the oldest — the ``int(na)`` residual decision otherwise
+    serializes every dispatch behind a relay round-trip (~300 ms here),
+    collapsing the stream into lockstep."""
+    n = data.shape[0]
+    if n <= 1:
+        return lambda: (data, jnp.int32(0), jnp.bool_(True))
+    prev = jnp.roll(data, 1)
+    comp = sentinel == SENT_LARGE
+    state = _it2_dispatch(
+        jnp.uint8(255) - data if comp else data, prev, D, red_frac
+    )
+
+    def finish():
+        L, b, ok = _it2_finish(prev, state, D)
+        if comp:
+            return L[::-1], jnp.int32(n - 1) - b, ok
+        return L, b, ok
+
+    return finish
 
 
 def bwt_it2(data: jnp.ndarray, sentinel: str = SENT_SMALL, D: int = 11,
@@ -282,12 +321,5 @@ def bwt_it2(data: jnp.ndarray, sentinel: str = SENT_SMALL, D: int = 11,
     an oversized induce residue); the caller must then fall back to
     ``bwt_v3`` — the same candidate + exact-check + fallback discipline
     the streamed container already applies per block.  NOT itself a jit:
-    it orchestrates three jitted stage programs (see ``_it2_small``)."""
-    n = data.shape[0]
-    if n <= 1:
-        return data, jnp.int32(0), jnp.bool_(True)
-    prev = jnp.roll(data, 1)
-    if sentinel == SENT_LARGE:
-        L, b, ok = _it2_small(jnp.uint8(255) - data, prev, D, red_frac)
-        return L[::-1], jnp.int32(n - 1) - b, ok
-    return _it2_small(data, prev, D, red_frac)
+    it orchestrates three jitted stage programs (see ``_it2_dispatch``)."""
+    return bwt_it2_async(data, sentinel, D, red_frac)()

@@ -103,18 +103,20 @@ def _streamed_forward(blocks: list[bytes], generation: str, verify: bool,
     window = int(os.environ.get("ARCHON_PIPE_BLOCKS", PIPE_BLOCKS)) or len(blocks)
 
     if use_it2:
-        # IT-2 reduced-volume candidate (core/it2): dispatch bwt_it2 per
-        # block; a block whose static caps can't resolve exactly flags
-        # ok=False and is recomputed through bwt_v3 at fetch time — the
-        # same candidate + exact-check + fallback discipline verify=True
+        # IT-2 reduced-volume candidate (core/it2): dispatch the SYNC-FREE
+        # async form per block (the residual na fetch would otherwise
+        # serialize every dispatch behind a relay round-trip); a block
+        # whose static caps can't resolve exactly flags ok=False at
+        # finish time and is recomputed through bwt_v3 — the same
+        # candidate + exact-check + fallback discipline verify=True
         # applies end-to-end anyway.
-        from ..core.it2 import bwt_it2
+        from ..core.it2 import bwt_it2_async
 
         def dispatch_block(arr):
-            return bwt_it2(arr, sentinel)
+            return bwt_it2_async(arr, sentinel)
 
         def fetch_result(arr, out):
-            L, base, ok = out
+            L, base, ok = out()
             if bool(ok):
                 return np.asarray(L), int(base)
             L, base = bwt_v3(arr, sentinel)

@@ -76,6 +76,23 @@ def cmd_it2(log2n=22):
     s_it, p_it = _time(
         "it2", lambda: bwt_it2(arr, "small"), lambda o: int(o[1]) + int(o[2])
     )
+    # windowed async form (how the streamed container dispatches it2):
+    # all dispatches enqueue before the first na fetch, so device work
+    # overlaps the residual-decision round-trips
+    from archon_tpu.core.it2 import bwt_it2_async
+
+    W = 4
+    fins = [bwt_it2_async(arr, "small") for _ in range(W)]
+    [f() for f in fins]  # warm
+    t0 = time.perf_counter()
+    fins = [bwt_it2_async(arr, "small") for _ in range(W)]
+    outs = [f() for f in fins]
+    p_async = (time.perf_counter() - t0) / W
+    print(
+        f"[it2] async window {W}: {p_async*1e3:.1f} ms/block = "
+        f"{mb/p_async:.1f} MB/s", flush=True,
+    )
+
     # confirm the fast path actually resolved (ok=True) on this corpus
     ok = bool(bwt_it2(arr, "small")[2])
     print(
